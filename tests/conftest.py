@@ -1,0 +1,25 @@
+"""Test harness setup: force an 8-device virtual CPU mesh.
+
+JAX's standard fake-backend mechanism for testing pjit/shard_map without real
+TPU hardware. Must run before jax initializes its backends, hence the env
+vars are set at import time of conftest (pytest imports it before tests).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep test numerics deterministic and fast.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
