@@ -82,6 +82,8 @@ class EncoderConfig:
     # ResNet stage widths (resnet-50 style bottleneck output channels)
     resnet_depths: tuple = (3, 4, 6, 3)
     resnet_hidden_sizes: tuple = (256, 512, 1024, 2048)
+    resnet_embedding_size: int = 64
+    resnet_layer_type: str = "bottleneck"  # bottleneck | basic
     # Swin
     swin_window_size: int = 7
     swin_embed_dim: int = 128

@@ -1,0 +1,493 @@
+"""Vision encoder zoo: ResNet, ViT, Swin, CLIP-vision, and object-region
+features.
+
+Capability parity with the reference's encoder zoo
+(reference: src/models/encoders.py:17-312): every encoder returns the uniform
+dict ``{"features": [B,S,D], "pooled_features": [B,D], "attention_mask":
+[B,S]}`` (reference: src/models/encoders.py:28-33), supports optional
+backbone freezing (57-58) and output-dim projection (50-54).
+
+TPU-first design decisions:
+
+* **NHWC layout** — images are ``[B, H, W, 3]`` (XLA's native conv layout on
+  TPU), not torch's NCHW.
+* Architectures are shape-compatible with the HuggingFace torch models the
+  reference loads (ViTModel / CLIPVisionModel / ResNetModel /SwinModel), so
+  pretrained weights port 1:1 via
+  :mod:`image_captioning_ml_project_tpu.models.hf_port`; numerics are
+  verified against tiny random HF models in tests/test_encoders.py.
+* ``freeze=True`` stops gradients at the backbone boundary
+  (the projection stays trainable), the functional equivalent of the
+  reference's ``requires_grad=False`` loop.
+
+Intended-behavior fixes over the reference (SURVEY.md §2.4): the reference's
+ResNet path applies a Linear over a 4-D NCHW tensor's last axis (width) and
+returns a 4-D pooled tensor (src/models/encoders.py:62-81); here spatial maps
+are flattened to a token sequence and pooled features are projected to
+``feature_dim`` like every other encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import EncoderConfig, EncoderType
+
+
+def quick_gelu(x):
+    """CLIP's activation (HF 'quick_gelu')."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+# ---------------------------------------------------------------------------
+# ResNet (HF transformers ResNetModel-compatible, bottleneck + basic layers)
+# ---------------------------------------------------------------------------
+
+
+class ResNetConvLayer(nn.Module):
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    activation: Optional[str] = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.kernel_size // 2, self.kernel_size // 2)] * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            name="convolution",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="normalization",
+        )(x)
+        if self.activation == "relu":
+            x = nn.relu(x)
+        return x
+
+
+class ResNetShortCut(nn.Module):
+    out_channels: int
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype, name="convolution")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="normalization")(x)
+        return x
+
+
+class ResNetBottleNeckLayer(nn.Module):
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    reduction: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        should_shortcut = self.in_channels != self.out_channels or self.stride != 1
+        reduces = self.out_channels // self.reduction
+        residual = x
+        x = ResNetConvLayer(reduces, kernel_size=1, dtype=self.dtype,
+                            name="layer_0")(x, train)
+        x = ResNetConvLayer(reduces, kernel_size=3, stride=self.stride,
+                            dtype=self.dtype, name="layer_1")(x, train)
+        x = ResNetConvLayer(self.out_channels, kernel_size=1, activation=None,
+                            dtype=self.dtype, name="layer_2")(x, train)
+        if should_shortcut:
+            residual = ResNetShortCut(self.out_channels, stride=self.stride,
+                                      dtype=self.dtype, name="shortcut")(residual, train)
+        return nn.relu(x + residual)
+
+
+class ResNetBasicLayer(nn.Module):
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        should_shortcut = self.in_channels != self.out_channels or self.stride != 1
+        residual = x
+        x = ResNetConvLayer(self.out_channels, kernel_size=3, stride=self.stride,
+                            dtype=self.dtype, name="layer_0")(x, train)
+        x = ResNetConvLayer(self.out_channels, kernel_size=3, activation=None,
+                            dtype=self.dtype, name="layer_1")(x, train)
+        if should_shortcut:
+            residual = ResNetShortCut(self.out_channels, stride=self.stride,
+                                      dtype=self.dtype, name="shortcut")(residual, train)
+        return nn.relu(x + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """HF ResNetModel-compatible backbone in NHWC.
+
+    embedder: 7x7/2 conv + BN + relu + 3x3/2 maxpool; then one stage per
+    entry of ``hidden_sizes`` (first stage stride 1, rest stride 2, matching
+    HF's downsample_in_first_stage=False default).
+    """
+
+    embedding_size: int = 64
+    hidden_sizes: Sequence[int] = (256, 512, 1024, 2048)
+    depths: Sequence[int] = (3, 4, 6, 3)
+    layer_type: str = "bottleneck"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResNetConvLayer(self.embedding_size, kernel_size=7, stride=2,
+                            dtype=self.dtype, name="embedder")(x, train)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        layer_cls = ResNetBottleNeckLayer if self.layer_type == "bottleneck" else ResNetBasicLayer
+        in_ch = self.embedding_size
+        for stage_idx, (size, depth) in enumerate(zip(self.hidden_sizes, self.depths)):
+            stride = 1 if stage_idx == 0 else 2
+            for layer_idx in range(depth):
+                x = layer_cls(
+                    in_channels=in_ch if layer_idx == 0 else size,
+                    out_channels=size,
+                    stride=stride if layer_idx == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"stage_{stage_idx}_layer_{layer_idx}",
+                )(x, train)
+            in_ch = size
+        return x  # [B, H', W', hidden_sizes[-1]]
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet image encoder (reference: src/models/encoders.py:37-91).
+
+    features = flattened spatial map projected to feature_dim;
+    pooled = global average pool (the HF pooler) projected to feature_dim.
+    """
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        x = ResNetBackbone(
+            embedding_size=cfg.resnet_embedding_size,
+            hidden_sizes=tuple(cfg.resnet_hidden_sizes),
+            depths=tuple(cfg.resnet_depths),
+            layer_type=cfg.resnet_layer_type,
+            dtype=self.dtype,
+            name="backbone",
+        )(images, train=train and not cfg.freeze)
+        if cfg.freeze:
+            x = jax.lax.stop_gradient(x)
+        B, H, W, C = x.shape
+        features = x.reshape(B, H * W, C)
+        pooled = features.mean(axis=1)  # HF pooler: AdaptiveAvgPool2d(1,1)
+        if C != cfg.feature_dim:
+            proj = nn.Dense(cfg.feature_dim, dtype=self.dtype, name="proj")
+            features = proj(features)
+            pooled = proj(pooled)
+        return {
+            "features": features,
+            "pooled_features": pooled,
+            "attention_mask": jnp.ones((B, features.shape[1]), dtype=jnp.bool_),
+        }
+
+
+# ---------------------------------------------------------------------------
+# ViT (HF transformers ViTModel-compatible)
+# ---------------------------------------------------------------------------
+
+
+class TransformerSelfAttention(nn.Module):
+    """Standard pre/post-projected self-attention used by ViT/CLIP backbones."""
+
+    hidden_size: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None):
+        h, nh = self.hidden_size, self.num_heads
+        hd = h // nh
+        B, S, _ = x.shape
+
+        def heads(y):
+            return y.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+
+        q = heads(nn.Dense(h, dtype=self.dtype, name="query")(x))
+        k = heads(nn.Dense(h, dtype=self.dtype, name="key")(x))
+        v = heads(nn.Dense(h, dtype=self.dtype, name="value")(x))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, h)
+        return nn.Dense(h, dtype=self.dtype, name="out")(out)
+
+
+class ViTLayer(nn.Module):
+    hidden_size: int
+    num_heads: int
+    mlp_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="layernorm_before")(x)
+        y = TransformerSelfAttention(self.hidden_size, self.num_heads,
+                                     dtype=self.dtype, name="attention")(y)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="layernorm_after")(x)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="intermediate")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.hidden_size, dtype=self.dtype, name="output")(y)
+        return x + y
+
+
+class ViTBackbone(nn.Module):
+    """HF ViTModel-compatible: patch conv + CLS + learned pos embeddings,
+    pre-LN encoder, final LayerNorm, tanh pooler on CLS."""
+
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    patch_size: int = 16
+    layer_norm_eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        B = images.shape[0]
+        h = self.hidden_size
+        x = nn.Conv(h, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype, name="patch_embed")(images)
+        x = x.reshape(B, -1, h)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, h))
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (B, 1, h)), x], axis=1)
+        pos = self.param("position_embeddings", nn.initializers.zeros,
+                         (1, x.shape[1], h))
+        x = x + pos.astype(x.dtype)
+        for i in range(self.num_layers):
+            x = ViTLayer(h, self.num_heads, h * self.mlp_ratio,
+                         dtype=self.dtype, name=f"layer_{i}")(x)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                         name="layernorm")(x)
+        pooled = jnp.tanh(nn.Dense(h, dtype=self.dtype, name="pooler")(x[:, 0]))
+        return x, pooled
+
+
+class ViTEncoder(nn.Module):
+    """ViT image encoder (reference: src/models/encoders.py:94-137):
+    features = patch tokens (CLS dropped, :122), pooled = tanh-pooler CLS,
+    both projected to feature_dim."""
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        x, pooled = ViTBackbone(
+            hidden_size=cfg.hidden_size,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            patch_size=cfg.patch_size,
+            dtype=self.dtype,
+            name="backbone",
+        )(images)
+        if cfg.freeze:
+            x = jax.lax.stop_gradient(x)
+            pooled = jax.lax.stop_gradient(pooled)
+        features = x[:, 1:, :]  # drop CLS
+        if cfg.hidden_size != cfg.feature_dim:
+            proj = nn.Dense(cfg.feature_dim, dtype=self.dtype, name="proj")
+            features = proj(features)
+            pooled = proj(pooled)
+        B, S = features.shape[:2]
+        return {
+            "features": features,
+            "pooled_features": pooled,
+            "attention_mask": jnp.ones((B, S), dtype=jnp.bool_),
+        }
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (HF transformers CLIPVisionModel-compatible)
+# ---------------------------------------------------------------------------
+
+
+class CLIPLayer(nn.Module):
+    hidden_size: int
+    num_heads: int
+    mlp_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
+        y = TransformerSelfAttention(self.hidden_size, self.num_heads,
+                                     dtype=self.dtype, name="attention")(y)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(y)
+        y = quick_gelu(y)
+        y = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class CLIPVisionBackbone(nn.Module):
+    """HF CLIPVisionModel-compatible vision transformer: class embedding +
+    bias-free patch conv + learned pos embeddings, pre-layernorm, pre-LN
+    encoder with quick-gelu MLPs, post-layernorm on the CLS token."""
+
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    patch_size: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        B = images.shape[0]
+        h = self.hidden_size
+        x = nn.Conv(h, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", use_bias=False, dtype=self.dtype,
+                    name="patch_embed")(images)
+        x = x.reshape(B, -1, h)
+        cls = self.param("class_embedding", nn.initializers.zeros, (h,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, h)), x], axis=1)
+        pos = self.param("position_embeddings", nn.initializers.zeros,
+                         (x.shape[1], h))
+        x = x + pos.astype(x.dtype)[None]
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_layernorm")(x)
+        for i in range(self.num_layers):
+            x = CLIPLayer(h, self.num_heads, h * self.mlp_ratio,
+                          dtype=self.dtype, name=f"layer_{i}")(x)
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="post_layernorm")(x[:, 0])
+        return x, pooled
+
+
+class CLIPEncoder(nn.Module):
+    """CLIP-vision encoder (reference: src/models/encoders.py:185-230):
+    features = patch tokens of the (un-post-layernormed) last hidden state,
+    pooled = post-layernormed CLS, both projected to feature_dim."""
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        x, pooled = CLIPVisionBackbone(
+            hidden_size=cfg.hidden_size,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            patch_size=cfg.patch_size,
+            dtype=self.dtype,
+            name="backbone",
+        )(images)
+        if cfg.freeze:
+            x = jax.lax.stop_gradient(x)
+            pooled = jax.lax.stop_gradient(pooled)
+        features = x[:, 1:, :]
+        if cfg.hidden_size != cfg.feature_dim:
+            proj = nn.Dense(cfg.feature_dim, dtype=self.dtype, name="proj")
+            features = proj(features)
+            pooled = proj(pooled)
+        B, S = features.shape[:2]
+        return {
+            "features": features,
+            "pooled_features": pooled,
+            "attention_mask": jnp.ones((B, S), dtype=jnp.bool_),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Object region features (Bottom-Up Top-Down)
+# ---------------------------------------------------------------------------
+
+
+class ObjectRegionEncoder(nn.Module):
+    """Pre-extracted detector-region encoder
+    (reference: src/models/encoders.py:233-296): projects region features,
+    fuses a small geometry MLP over (x, y, w, h) boxes, masked mean-pool.
+
+    Input is a dict with ``region_features`` [B, N, input_dim],
+    ``region_boxes`` [B, N, 4], ``region_mask`` [B, N] (True = valid).
+    """
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features_dict: Dict[str, jnp.ndarray],
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        region_features = features_dict["region_features"]
+        region_boxes = features_dict.get("region_boxes")
+        mask = features_dict["region_mask"]
+
+        if cfg.region_feature_dim != cfg.feature_dim:
+            features = nn.Dense(cfg.feature_dim, dtype=self.dtype,
+                                name="proj")(region_features)
+        else:
+            features = region_features
+
+        if region_boxes is not None:
+            geo = nn.Dense(64, dtype=self.dtype, name="geo_proj_0")(region_boxes)
+            geo = nn.relu(geo)
+            geo = nn.Dense(cfg.feature_dim, dtype=self.dtype, name="geo_proj_1")(geo)
+            features = nn.Dense(cfg.feature_dim, dtype=self.dtype, name="combine")(
+                jnp.concatenate([features, geo], axis=-1))
+
+        # Masked mean-pool (reference: src/models/encoders.py:284-290)
+        m = mask.astype(features.dtype)[..., None]
+        pooled = (features * m).sum(axis=1) / (m.sum(axis=1) + 1e-10)
+        return {
+            "features": features,
+            "pooled_features": pooled,
+            "attention_mask": mask.astype(jnp.bool_),
+        }
+
+
+def build_encoder(config: EncoderConfig, dtype=jnp.float32) -> nn.Module:
+    """Factory (reference: src/models/encoders.py:299-312)."""
+    from .swin import SwinEncoder  # local import: sizeable module
+
+    if config.encoder_type == EncoderType.RESNET:
+        return ResNetEncoder(config, dtype=dtype)
+    if config.encoder_type == EncoderType.VIT:
+        return ViTEncoder(config, dtype=dtype)
+    if config.encoder_type == EncoderType.SWIN:
+        return SwinEncoder(config, dtype=dtype)
+    if config.encoder_type == EncoderType.CLIP:
+        return CLIPEncoder(config, dtype=dtype)
+    if config.encoder_type == EncoderType.OBJECT_REGION or config.use_object_features:
+        return ObjectRegionEncoder(config, dtype=dtype)
+    raise ValueError(f"Unsupported encoder type: {config.encoder_type}")
