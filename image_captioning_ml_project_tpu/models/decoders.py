@@ -1,0 +1,458 @@
+"""Caption decoders: LSTM (lax.scan), Transformer (KV-cached), GPT-2
+(per-layer prefix-KV; see :mod:`.gpt2`).
+
+Capability parity with the reference decoder zoo
+(reference: src/models/decoders.py:72-692), redesigned TPU-first:
+
+* The reference's per-timestep Python loops (LSTM forward
+  src/models/decoders.py:187-219, greedy generate 269-306, Transformer
+  generate re-running the full prefix each step 461-491) become a single
+  traced ``lax.scan`` / explicit KV-cache step — one compiled program, no
+  host round-trips.
+* Variable-length handling drops the reference's length-sort/unsort
+  (src/models/decoders.py:157-166, 221-229) for masking under static shapes
+  (XLA requirement; loss masking gives identical gradients).
+* Every decoder exposes the uniform decode interface consumed by
+  :mod:`..inference.decoding`::
+
+      variables -> init_cache(encoder_features, max_length) -> state
+      step(state, tokens[B]) -> (logits[B, V], state)
+
+  States are pytrees with a leading batch axis on every array (so beam
+  search can tile/gather them) except scalar position counters.
+
+Intended-behavior fixes over the reference (SURVEY.md §2.4): ``generate``
+uses the configured BOS id instead of the hardcoded ``start_token_id=1``
+(src/models/decoders.py:240); the no-captions forward branch does not crash
+on an undefined ``config`` (src/models/decoders.py:148).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import AttentionConfig, DecoderConfig, DecoderType
+from .attention import build_attention
+from .lstm import StackedLSTM
+
+_NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# LSTM decoder (Show-Attend-Tell style)
+# ---------------------------------------------------------------------------
+
+
+class LSTMDecoder(nn.Module):
+    """LSTM decoder with per-step cross-attention
+    (reference: src/models/decoders.py:72-314).
+
+    Per step: lstm_input = [embed(prev_token); prev_context] -> stacked LSTM
+    -> attention(query=top hidden, kv=image features, sentinel states=last
+    layer h/c) -> logits = output_layer(context). Hidden init from pooled
+    features through init_h/init_c (reference :122-135).
+    """
+
+    config: DecoderConfig
+    attention_config: AttentionConfig
+    vocab_size: int
+    pad_token_id: int
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    embedding_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embed_dim = self.embedding_dim or cfg.hidden_dim
+        self.embedding = nn.Embed(self.vocab_size, self.embed_dim, dtype=self.dtype)
+        self.lstm = StackedLSTM(cfg.hidden_dim, cfg.num_layers,
+                                dropout=cfg.dropout, dtype=self.dtype)
+        self.attention = build_attention(self.attention_config, dtype=self.dtype)
+        self.output_layer = nn.Dense(self.vocab_size, dtype=self.dtype)
+        self.init_h = nn.Dense(cfg.hidden_dim * cfg.num_layers, dtype=self.dtype)
+        self.init_c = nn.Dense(cfg.hidden_dim * cfg.num_layers, dtype=self.dtype)
+        self.drop = nn.Dropout(rate=cfg.dropout)
+
+    def _init_states(self, pooled: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[B, D] -> (h, c) each [B, L, H] (reference :122-135)."""
+        B = pooled.shape[0]
+        L, H = self.config.num_layers, self.config.hidden_dim
+        h = self.init_h(pooled).reshape(B, L, H)
+        c = self.init_c(pooled).reshape(B, L, H)
+        return h, c
+
+    def _step_core(self, h, c, prev_context, token_emb, features, key_padding_mask):
+        """One decode step shared by teacher forcing and generation."""
+        lstm_input = jnp.concatenate([token_emb, prev_context], axis=-1)
+        # StackedLSTM carries [L, B, H]
+        (h_new, c_new), top = self.lstm(
+            (h.transpose(1, 0, 2), c.transpose(1, 0, 2)), lstm_input)
+        h_new = h_new.transpose(1, 0, 2)
+        c_new = c_new.transpose(1, 0, 2)
+        context, attn_w = self.attention(
+            top, features, features,
+            key_padding_mask=key_padding_mask,
+            memory_state=h_new[:, -1], cell_state=c_new[:, -1])
+        return h_new, c_new, context, attn_w
+
+    def __call__(self, encoder_features: Dict[str, jnp.ndarray],
+                 captions: jnp.ndarray,
+                 caption_lengths: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """Teacher-forced forward: captions [B, T] -> logits [B, T, V]."""
+        features = encoder_features["features"]
+        attention_mask = encoder_features.get("attention_mask")
+        key_padding_mask = None if attention_mask is None else ~attention_mask.astype(bool)
+        B, T = captions.shape
+        H = self.config.hidden_dim
+
+        h, c = self._init_states(encoder_features["pooled_features"])
+        embeddings = self.embedding(captions)
+        embeddings = self.drop(embeddings, deterministic=deterministic)
+
+        prev_context = jnp.zeros((B, H), dtype=embeddings.dtype)
+
+        def body(mdl, carry, emb_t):
+            h, c, prev_context = carry
+            h, c, context, attn_w = mdl._step_core(
+                h, c, prev_context, emb_t, features, key_padding_mask)
+            logits_t = mdl.output_layer(
+                mdl.drop(context, deterministic=deterministic))
+            return (h, c, context), (logits_t, attn_w)
+
+        # nn.scan over time axis 1: params broadcast, dropout rng split.
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=1, out_axes=1)
+        _, (logits, attn_ws) = scan(self, (h, c, prev_context), embeddings)
+        return {"logits": logits, "attention_weights": attn_ws}
+
+    def generate(self, encoder_features: Dict[str, jnp.ndarray],
+                 max_length: int,
+                 start_token_id: Optional[int] = None) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Greedy decode via lax.scan (reference: src/models/decoders.py:236-314).
+
+        Output parity: position 0 holds the start token (the reference stores
+        the current input before predicting the next, :269-271)."""
+        features = encoder_features["features"]
+        attention_mask = encoder_features.get("attention_mask")
+        key_padding_mask = None if attention_mask is None else ~attention_mask.astype(bool)
+        B = features.shape[0]
+        H = self.config.hidden_dim
+        start = self.bos_token_id if start_token_id is None else start_token_id
+
+        h, c = self._init_states(encoder_features["pooled_features"])
+        prev_context = jnp.zeros((B, H), dtype=features.dtype)
+        current = jnp.full((B,), start, dtype=jnp.int32)
+
+        def scan_body(carry, _):
+            h, c, prev_context, current = carry
+            emb = self.embedding(current)
+            h, c, context, attn_w = self._step_core(
+                h, c, prev_context, emb, features, key_padding_mask)
+            logits = self.output_layer(context)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (h, c, context, nxt), (current, attn_w)
+
+        _, (tokens, attn_ws) = jax.lax.scan(
+            scan_body, (h, c, prev_context, current), None, length=max_length)
+        return tokens.transpose(1, 0), {"attention_weights": attn_ws.transpose(1, 0, 2)}
+
+    # -- uniform decode interface -------------------------------------------
+
+    def init_cache(self, encoder_features: Dict[str, jnp.ndarray],
+                   max_length: int) -> Dict[str, jnp.ndarray]:
+        features = encoder_features["features"]
+        attention_mask = encoder_features.get("attention_mask")
+        if attention_mask is None:
+            attention_mask = jnp.ones(features.shape[:2], dtype=jnp.bool_)
+        B = features.shape[0]
+        h, c = self._init_states(encoder_features["pooled_features"])
+        return {
+            "h": h,
+            "c": c,
+            "prev_context": jnp.zeros((B, self.config.hidden_dim), dtype=features.dtype),
+            "features": features,
+            "attention_mask": attention_mask.astype(jnp.bool_),
+        }
+
+    def step(self, state: Dict[str, jnp.ndarray],
+             tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        emb = self.embedding(tokens)
+        h, c, context, _ = self._step_core(
+            state["h"], state["c"], state["prev_context"], emb,
+            state["features"], ~state["attention_mask"])
+        logits = self.output_layer(context)
+        new_state = dict(state, h=h, c=c, prev_context=context)
+        return logits, new_state
+
+
+# ---------------------------------------------------------------------------
+# Transformer decoder
+# ---------------------------------------------------------------------------
+
+
+class CachedMHA(nn.Module):
+    """Multi-head attention with optional explicit KV cache.
+
+    Modes:
+      * full: q_input [B, T, H], kv_input [B, S, H], additive bias.
+      * cached self-attn step: q_input [B, 1, H], cache (k, v)
+        [B, max_len, nh, hd], current position ``pos``.
+    """
+
+    hidden_dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        h = self.hidden_dim
+        self.q_proj = nn.Dense(h, dtype=self.dtype)
+        self.k_proj = nn.Dense(h, dtype=self.dtype)
+        self.v_proj = nn.Dense(h, dtype=self.dtype)
+        self.out_proj = nn.Dense(h, dtype=self.dtype)
+
+    def _heads(self, x):
+        B, T, _ = x.shape
+        hd = self.hidden_dim // self.num_heads
+        return x.reshape(B, T, self.num_heads, hd)
+
+    def full(self, q_input, kv_input, bias=None):
+        q = self._heads(self.q_proj(q_input))
+        k = self._heads(self.k_proj(kv_input))
+        v = self._heads(self.v_proj(kv_input))
+        hd = q.shape[-1]
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        if bias is not None:
+            scores = scores + bias
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bknd->bqnd", w, v)
+        B, T = q_input.shape[:2]
+        return self.out_proj(out.reshape(B, T, self.hidden_dim))
+
+    def project_kv(self, kv_input):
+        """Precompute cross-attention K/V: [B, S, nh, hd] each."""
+        return self._heads(self.k_proj(kv_input)), self._heads(self.v_proj(kv_input))
+
+    def attend_precomputed(self, q_input, k, v, key_padding_mask=None,
+                           pos_limit=None):
+        """q_input [B, T, H] against precomputed k/v [B, S, nh, hd].
+
+        ``pos_limit``: if given (scalar), positions >= pos_limit are masked
+        (used for cached causal self-attention at decode)."""
+        q = self._heads(self.q_proj(q_input))
+        hd = q.shape[-1]
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        if key_padding_mask is not None:
+            scores = jnp.where(key_padding_mask[:, None, None, :], _NEG_INF, scores)
+        if pos_limit is not None:
+            S = k.shape[1]
+            idx = jnp.arange(S)
+            scores = jnp.where((idx >= pos_limit)[None, None, None, :], _NEG_INF, scores)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bknd->bqnd", w, v)
+        B, T = q_input.shape[:2]
+        return self.out_proj(out.reshape(B, T, self.hidden_dim))
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-LN decoder layer with gelu FFN (torch
+    nn.TransformerDecoderLayer semantics, reference:
+    src/models/decoders.py:349-360)."""
+
+    hidden_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        h = self.hidden_dim
+        self.self_attn = CachedMHA(h, self.num_heads, dtype=self.dtype)
+        self.cross_attn = CachedMHA(h, self.num_heads, dtype=self.dtype)
+        self.linear1 = nn.Dense(h * 4, dtype=self.dtype)
+        self.linear2 = nn.Dense(h, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def _ffn(self, x, deterministic):
+        y = nn.gelu(self.linear1(x), approximate=False)
+        y = self.drop(y, deterministic=deterministic)
+        return self.linear2(y)
+
+    def full(self, x, memory, self_bias=None, memory_key_padding_mask=None,
+             deterministic: bool = True):
+        y = self.self_attn.full(x, x, bias=self_bias)
+        x = self.norm1(x + self.drop(y, deterministic=deterministic))
+        y = self.cross_attn.attend_precomputed(
+            x, *self.cross_attn.project_kv(memory),
+            key_padding_mask=memory_key_padding_mask)
+        x = self.norm2(x + self.drop(y, deterministic=deterministic))
+        y = self._ffn(x, deterministic)
+        return self.norm3(x + self.drop(y, deterministic=deterministic))
+
+    def init_layer_cache(self, memory, max_length):
+        B = memory.shape[0]
+        nh = self.num_heads
+        hd = self.hidden_dim // nh
+        mem_k, mem_v = self.cross_attn.project_kv(memory)
+        return {
+            "k": jnp.zeros((B, max_length, nh, hd), dtype=memory.dtype),
+            "v": jnp.zeros((B, max_length, nh, hd), dtype=memory.dtype),
+            "mem_k": mem_k,
+            "mem_v": mem_v,
+        }
+
+    def cached_step(self, x, cache, pos, memory_key_padding_mask=None):
+        """x [B, 1, H]; writes K/V at ``pos``; returns (out [B,1,H], cache)."""
+        k_new = self.self_attn._heads(self.self_attn.k_proj(x))
+        v_new = self.self_attn._heads(self.self_attn.v_proj(x))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, pos, axis=1)
+        y = self.self_attn.attend_precomputed(x, k_cache, v_cache,
+                                              pos_limit=pos + 1)
+        x = self.norm1(x + y)
+        y = self.cross_attn.attend_precomputed(
+            x, cache["mem_k"], cache["mem_v"],
+            key_padding_mask=memory_key_padding_mask)
+        x = self.norm2(x + y)
+        y = self._ffn(x, True)
+        x = self.norm3(x + y)
+        return x, dict(cache, k=k_cache, v=v_cache)
+
+
+class TransformerDecoder(nn.Module):
+    """Transformer caption decoder
+    (reference: src/models/decoders.py:317-493): learned positional
+    embeddings (:344-346), visual memory projection (:366), causal mask
+    (:401); generation here is KV-cached instead of re-encoding the prefix
+    every step (:461-491)."""
+
+    config: DecoderConfig
+    vocab_size: int
+    pad_token_id: int
+    bos_token_id: int
+    eos_token_id: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        h = cfg.hidden_dim
+        self.embedding = nn.Embed(self.vocab_size, h, dtype=self.dtype)
+        self.position_encoding = nn.Embed(cfg.max_length, h, dtype=self.dtype)
+        self.layers = [
+            TransformerDecoderLayer(h, cfg.num_heads, cfg.dropout,
+                                    dtype=self.dtype, name=f"layer_{i}")
+            for i in range(cfg.num_layers)
+        ]
+        self.output_layer = nn.Dense(self.vocab_size, dtype=self.dtype)
+        self.visual_projection = nn.Dense(h, dtype=self.dtype)
+        self.drop = nn.Dropout(rate=cfg.dropout)
+
+    def __call__(self, encoder_features: Dict[str, jnp.ndarray],
+                 captions: jnp.ndarray,
+                 caption_lengths: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        memory = self.visual_projection(encoder_features["features"])
+        mem_mask = encoder_features.get("attention_mask")
+        mem_pad = None if mem_mask is None else ~mem_mask.astype(bool)
+        B, T = captions.shape
+
+        x = self.embedding(captions)
+        x = x + self.position_encoding(jnp.arange(T)[None, :])
+        x = self.drop(x, deterministic=deterministic)
+
+        # causal + target padding additive bias [B, 1, T, T]
+        causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+        bias = jnp.where(causal[None, None], 0.0, _NEG_INF)
+        tgt_pad = captions == self.pad_token_id
+        bias = bias + jnp.where(tgt_pad[:, None, None, :], _NEG_INF, 0.0)
+
+        for layer in self.layers:
+            x = layer.full(x, memory, self_bias=bias,
+                           memory_key_padding_mask=mem_pad,
+                           deterministic=deterministic)
+        logits = self.output_layer(x)
+        return {"logits": logits, "hidden_states": x}
+
+    # -- uniform decode interface -------------------------------------------
+
+    def init_cache(self, encoder_features: Dict[str, jnp.ndarray],
+                   max_length: int) -> Dict[str, Any]:
+        memory = self.visual_projection(encoder_features["features"])
+        mem_mask = encoder_features.get("attention_mask")
+        if mem_mask is None:
+            mem_mask = jnp.ones(memory.shape[:2], dtype=jnp.bool_)
+        layer_caches = [l.init_layer_cache(memory, max_length) for l in self.layers]
+        return {
+            "layers": layer_caches,
+            "mem_pad": ~mem_mask.astype(bool),
+            "pos": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def step(self, state: Dict[str, Any],
+             tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        pos = state["pos"]
+        x = self.embedding(tokens)[:, None, :]
+        x = x + self.position_encoding(pos[None, None])
+        new_caches = []
+        for layer, cache in zip(self.layers, state["layers"]):
+            x, cache = layer.cached_step(x, cache, pos,
+                                         memory_key_padding_mask=state["mem_pad"])
+            new_caches.append(cache)
+        logits = self.output_layer(x[:, 0])
+        return logits, dict(state, layers=new_caches, pos=pos + 1)
+
+    def generate(self, encoder_features: Dict[str, jnp.ndarray],
+                 max_length: int) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Greedy KV-cached generation. Parity with the reference's greedy
+        loop (src/models/decoders.py:439-493): sequence starts with BOS."""
+        B = encoder_features["features"].shape[0]
+        state = self.init_cache(encoder_features, max_length)
+        current = jnp.full((B,), self.bos_token_id, dtype=jnp.int32)
+
+        def scan_body(carry, _):
+            state, current = carry
+            logits, state = self.step(state, current)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (state, nxt), current
+
+        (_, _), tokens = jax.lax.scan(
+            scan_body, (state, current), None, length=max_length)
+        return tokens.transpose(1, 0), {}
+
+
+def build_decoder(config: DecoderConfig,
+                  attention_config: AttentionConfig,
+                  vocab_size: int,
+                  pad_token_id: int,
+                  bos_token_id: int,
+                  eos_token_id: int,
+                  dtype=jnp.float32) -> nn.Module:
+    """Factory (reference: src/models/decoders.py:659-692)."""
+    from .gpt2 import GPT2Decoder
+
+    if config.decoder_type == DecoderType.LSTM:
+        return LSTMDecoder(config=config, attention_config=attention_config,
+                           vocab_size=vocab_size, pad_token_id=pad_token_id,
+                           bos_token_id=bos_token_id, eos_token_id=eos_token_id,
+                           dtype=dtype)
+    if config.decoder_type == DecoderType.TRANSFORMER:
+        return TransformerDecoder(config=config, vocab_size=vocab_size,
+                                  pad_token_id=pad_token_id,
+                                  bos_token_id=bos_token_id,
+                                  eos_token_id=eos_token_id, dtype=dtype)
+    if config.decoder_type == DecoderType.GPT2:
+        return GPT2Decoder(config=config, vocab_size=vocab_size,
+                           pad_token_id=pad_token_id,
+                           bos_token_id=bos_token_id,
+                           eos_token_id=eos_token_id, dtype=dtype)
+    raise ValueError(f"Unsupported decoder type: {config.decoder_type}")
