@@ -1,0 +1,311 @@
+"""jit-compiled batched decoding: greedy, temperature/nucleus sampling, and
+(diverse) beam search with KV cache.
+
+The reference's decoding surface (reference: src/config.py:93-109 —
+greedy | beam | nucleus, beam_size, top_p, temperature, min/max length,
+length_penalty 0.8, num_beam_groups/diversity_penalty, candidate generation
+for CLIP reranking) is implemented here as pure functions over the uniform
+decoder interface::
+
+    step_fn(state, tokens[N]) -> (logits[N, V], state)
+
+where ``state`` is a pytree whose arrays carry a leading batch axis (so beam
+search can tile and gather them). Everything is static-shaped ``lax.scan`` —
+one XLA program, no host round-trips — replacing the reference's Python
+token loops (src/models/decoders.py:461-491, src/train/trainer.py:413-432)
+and its HF ``generate`` call (src/models/decoders.py:645-654).
+
+Score convention (beam): HF-style ``sum_logprobs / (length ** length_penalty)``
+with EOS suppressed while ``len < min_length``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1.0e9
+
+
+def _tile_state(state, factor: int):
+    """Repeat each batch row ``factor`` times (B -> B*factor), scalars kept."""
+
+    def tile(x):
+        if x.ndim == 0:
+            return x
+        return jnp.repeat(x, factor, axis=0)
+
+    return jax.tree_util.tree_map(tile, state)
+
+
+def _gather_state(state, flat_indices):
+    """Gather batch rows of every array in the state by flat indices."""
+
+    def gather(x):
+        if x.ndim == 0:
+            return x
+        return x[flat_indices]
+
+    return jax.tree_util.tree_map(gather, state)
+
+
+# ---------------------------------------------------------------------------
+# Greedy
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode(step_fn, init_state, batch_size: int, bos_token_id: int,
+                  max_length: int) -> jnp.ndarray:
+    """Greedy argmax decode. Output [B, max_length]; position 0 is BOS
+    (parity with the reference generate loops)."""
+    current = jnp.full((batch_size,), bos_token_id, dtype=jnp.int32)
+
+    def body(carry, _):
+        state, current = carry
+        logits, state = step_fn(state, current)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (state, nxt), current
+
+    _, tokens = jax.lax.scan(body, (init_state, current), None, length=max_length)
+    return tokens.transpose(1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (temperature / nucleus)
+# ---------------------------------------------------------------------------
+
+
+def _top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering: keep the smallest prefix of the sorted distribution
+    with cumulative probability >= top_p; everything else -> -inf."""
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # keep tokens whose *preceding* cumulative mass < top_p (always >= 1 token)
+    keep_sorted = (cum - sorted_probs) < top_p
+    # threshold logit = smallest kept logit
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits >= threshold, logits, _NEG_INF)
+
+
+class SampleResult(NamedTuple):
+    tokens: jnp.ndarray      # [B, L] (position 0 = BOS)
+    logprobs: jnp.ndarray    # [B, L] log p(token_t); 0 where inactive
+    mask: jnp.ndarray        # [B, L] True for sampled (pre/at-EOS) positions
+
+
+def sample_decode(step_fn, init_state, rng: jax.Array, batch_size: int,
+                  bos_token_id: int, eos_token_id: int, pad_token_id: int,
+                  max_length: int, temperature: float = 1.0,
+                  top_p: float = 1.0, min_length: int = 0) -> SampleResult:
+    """Ancestral sampling with temperature and optional nucleus filtering.
+    After EOS a sequence emits pads with zero logprob — the masked per-token
+    logprobs feed SCST's REINFORCE estimator
+    (reference loop: src/train/trainer.py:413-438)."""
+    B = batch_size
+    current = jnp.full((B,), bos_token_id, dtype=jnp.int32)
+    cur_logp = jnp.zeros((B,))        # BOS is given, no logprob
+    cur_active = jnp.zeros((B,), dtype=bool)
+    done = jnp.zeros((B,), dtype=bool)
+
+    def body(carry, rng_t):
+        state, current, cur_logp, cur_active, done, t = carry
+        logits, state = step_fn(state, current)
+        logits = logits / temperature
+        logits = jnp.where(
+            (t < min_length) & (jnp.arange(logits.shape[-1]) == eos_token_id)[None, :],
+            _NEG_INF, logits)
+        if top_p < 1.0:
+            logits = _top_p_filter(logits, top_p)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        sampled = jax.random.categorical(rng_t, logits, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, sampled[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(done, pad_token_id, sampled)
+        tok_logp = jnp.where(done, 0.0, tok_logp)
+        active = ~done
+        done = done | (sampled == eos_token_id)
+        out = (current, cur_logp, cur_active)
+        return (state, nxt, tok_logp, active, done, t + 1), out
+
+    rngs = jax.random.split(rng, max_length)
+    _, (tokens, logprobs, mask) = jax.lax.scan(
+        body, (init_state, current, cur_logp, cur_active, done, jnp.asarray(1)),
+        rngs)
+    return SampleResult(tokens.transpose(1, 0), logprobs.transpose(1, 0),
+                        mask.transpose(1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray   # [B, L] best hypothesis (or [B, K, L] if return_all)
+    scores: jnp.ndarray   # [B] (or [B, K]) length-normalized log prob
+
+
+def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
+                bos_token_id: int, eos_token_id: int, pad_token_id: int,
+                max_length: int, length_penalty: float = 1.0,
+                min_length: int = 0, num_beam_groups: int = 1,
+                diversity_penalty: float = 0.0,
+                return_all: bool = False) -> BeamResult:
+    """Batched (diverse) beam search with KV cache, fully jit-compatible.
+
+    ``init_state`` is the *untiled* [B, ...] decode state; it is tiled to
+    B*K rows here. With ``num_beam_groups > 1`` the Hamming-diversity
+    variant is used (reference config surface: src/config.py:104-105): group
+    g's token logprobs are penalized by ``diversity_penalty * count`` of the
+    tokens groups < g chose at the same step. One model call per step for
+    all beams; only candidate selection is sequential over groups.
+    """
+    B, K, V_total = batch_size, beam_size, None
+    G = num_beam_groups
+    assert K % G == 0, "beam_size must be divisible by num_beam_groups"
+    Kg = K // G
+    L = max_length
+
+    state = _tile_state(init_state, K)
+
+    sequences = jnp.full((B, K, L), pad_token_id, dtype=jnp.int32)
+    sequences = sequences.at[:, :, 0].set(bos_token_id)
+    # Per group: first beam live at score 0, rest -inf.
+    live_scores = jnp.full((B, G, Kg), _NEG_INF)
+    live_scores = live_scores.at[:, :, 0].set(0.0)
+    live_scores = live_scores.reshape(B, K)
+
+    fin_seqs = jnp.full((B, K, L), pad_token_id, dtype=jnp.int32)
+    fin_scores = jnp.full((B, K), _NEG_INF)
+
+    def body(carry, t):
+        state, sequences, live_scores, fin_seqs, fin_scores = carry
+        current = jax.lax.dynamic_index_in_dim(
+            sequences, t - 1, axis=2, keepdims=False).reshape(B * K)
+        logits, state = step_fn(state, current)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        logp = jnp.where(
+            (t < min_length) & (jnp.arange(V) == eos_token_id)[None, None, :],
+            _NEG_INF, logp)
+
+        logp = logp.reshape(B, G, Kg, V)
+        seqs_g = sequences.reshape(B, G, Kg, L)
+        live_g = live_scores.reshape(B, G, Kg)
+        fin_seqs_g = fin_seqs.reshape(B, G, Kg, L)
+        fin_scores_g = fin_scores.reshape(B, G, Kg)
+
+        new_beam_idx = []
+        new_tokens = []
+        new_live = []
+        new_fin_seqs = []
+        new_fin_scores = []
+        token_counts = jnp.zeros((B, V))
+
+        for g in range(G):
+            lp = logp[:, g]
+            if G > 1 and diversity_penalty > 0.0:
+                lp = lp - diversity_penalty * token_counts[:, None, :]
+            total = live_g[:, g][:, :, None] + lp  # [B, Kg, V]
+            flat = total.reshape(B, Kg * V)
+            cand_scores, cand_idx = jax.lax.top_k(flat, 2 * Kg)
+            cand_beam = cand_idx // V
+            cand_tok = (cand_idx % V).astype(jnp.int32)
+            is_eos = cand_tok == eos_token_id
+
+            # finished candidates: normalized score
+            norm = cand_scores / (t.astype(jnp.float32) ** length_penalty)
+            fin_cand_scores = jnp.where(is_eos, norm, _NEG_INF)
+            # candidate sequences (with EOS written at position t)
+            cand_seqs = jnp.take_along_axis(
+                seqs_g[:, g], cand_beam[:, :, None], axis=1)
+            cand_seqs = cand_seqs.at[:, :, t].set(cand_tok)
+            all_fin_scores = jnp.concatenate(
+                [fin_scores_g[:, g], fin_cand_scores], axis=1)  # [B, 3Kg]
+            all_fin_seqs = jnp.concatenate([fin_seqs_g[:, g], cand_seqs], axis=1)
+            top_fin_scores, top_fin_idx = jax.lax.top_k(all_fin_scores, Kg)
+            top_fin_seqs = jnp.take_along_axis(
+                all_fin_seqs, top_fin_idx[:, :, None], axis=1)
+
+            # live continuation: best Kg non-EOS candidates
+            live_cand = jnp.where(is_eos, _NEG_INF, cand_scores)
+            top_live_scores, top_live_idx = jax.lax.top_k(live_cand, Kg)
+            sel_beam = jnp.take_along_axis(cand_beam, top_live_idx, axis=1)
+            sel_tok = jnp.take_along_axis(cand_tok, top_live_idx, axis=1)
+
+            if G > 1 and diversity_penalty > 0.0:
+                token_counts = token_counts + jax.nn.one_hot(sel_tok, V).sum(axis=1)
+
+            new_beam_idx.append(sel_beam + g * Kg)
+            new_tokens.append(sel_tok)
+            new_live.append(top_live_scores)
+            new_fin_seqs.append(top_fin_seqs)
+            new_fin_scores.append(top_fin_scores)
+
+        beam_idx = jnp.concatenate(new_beam_idx, axis=1)        # [B, K] in 0..K
+        tokens_sel = jnp.concatenate(new_tokens, axis=1)        # [B, K]
+        live_scores = jnp.concatenate(new_live, axis=1)
+        fin_seqs = jnp.stack(new_fin_seqs, axis=1).reshape(B, K, L)
+        fin_scores = jnp.stack(new_fin_scores, axis=1).reshape(B, K)
+
+        # reorder sequences and decode state
+        sequences = jnp.take_along_axis(sequences, beam_idx[:, :, None], axis=1)
+        sequences = sequences.at[:, :, t].set(tokens_sel)
+        flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(B * K)
+        state = _gather_state(state, flat_idx)
+
+        return (state, sequences, live_scores, fin_seqs, fin_scores), None
+
+    carry = (state, sequences, live_scores, fin_seqs, fin_scores)
+    (state, sequences, live_scores, fin_seqs, fin_scores), _ = jax.lax.scan(
+        body, carry, jnp.arange(1, L))
+
+    # Merge unfinished live beams (normalized at full length) with finished.
+    live_norm = live_scores / (float(L - 1) ** length_penalty)
+    all_scores = jnp.concatenate([fin_scores, live_norm], axis=1)   # [B, 2K]
+    all_seqs = jnp.concatenate([fin_seqs, sequences], axis=1)       # [B, 2K, L]
+    top_scores, top_idx = jax.lax.top_k(all_scores, K)
+    top_seqs = jnp.take_along_axis(all_seqs, top_idx[:, :, None], axis=1)
+
+    if return_all:
+        return BeamResult(top_seqs, top_scores)
+    return BeamResult(top_seqs[:, 0], top_scores[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# High-level entry: decode according to an InferenceConfig
+# ---------------------------------------------------------------------------
+
+
+def decode(step_fn, init_state, batch_size: int, inference_config,
+           bos_token_id: int, eos_token_id: int, pad_token_id: int,
+           rng: Optional[jax.Array] = None,
+           max_length: Optional[int] = None,
+           return_all: bool = False):
+    """Dispatch on ``decoding_strategy`` (reference: src/config.py:95)."""
+    ic = inference_config
+    L = max_length or ic.max_length
+    strategy = ic.decoding_strategy
+    if strategy == "greedy":
+        return greedy_decode(step_fn, init_state, batch_size, bos_token_id, L)
+    if strategy == "nucleus":
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return sample_decode(step_fn, init_state, rng, batch_size,
+                             bos_token_id, eos_token_id, pad_token_id, L,
+                             temperature=ic.temperature, top_p=ic.top_p,
+                             min_length=ic.min_length).tokens
+    if strategy == "beam":
+        res = beam_search(step_fn, init_state, batch_size, ic.beam_size,
+                          bos_token_id, eos_token_id, pad_token_id, L,
+                          length_penalty=ic.length_penalty,
+                          min_length=ic.min_length,
+                          num_beam_groups=ic.num_beam_groups,
+                          diversity_penalty=ic.diversity_penalty,
+                          return_all=return_all)
+        return res.tokens
+    raise ValueError(f"Unknown decoding strategy: {strategy}")
