@@ -1,0 +1,356 @@
+"""COCO caption dataset: JSON parsing, host image preprocessing, fixed-shape
+batching.
+
+Behavioral parity with the reference's dataset layer
+(reference: src/data/dataset.py:12-177):
+
+* training mode yields one example per (image, caption) annotation
+  (src/data/dataset.py:63-75);
+* eval mode groups all captions per image (src/data/dataset.py:79-100) —
+  but padded to a *fixed* reference count so batches have static shapes
+  (fixes the variable-ref-count collate defect, SURVEY.md §2.4);
+* tokenization to fixed ``max_length`` with attention masks
+  (src/data/dataset.py:122-132);
+* train transform: RandomResizedCrop + horizontal flip; eval: resize +
+  center crop (reference: src/main.py:139-153) — implemented host-side with
+  PIL, parameterized by a seeded numpy RNG.
+
+TPU-first: images leave the host as **uint8 NHWC** (4x less host→device
+bandwidth than float32); ImageNet normalization runs on device inside the
+jitted step (:func:`normalize_images`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def normalize_images(images_uint8):
+    """Device-side ImageNet normalization: uint8 NHWC -> float32 NHWC
+    (reference transform constants: src/main.py:143-144). jnp-traceable."""
+    import jax.numpy as jnp
+
+    x = images_uint8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (x - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# Host-side image transforms (PIL)
+# ---------------------------------------------------------------------------
+
+
+def random_resized_crop(img: "Image.Image", size: int, rng: np.random.RandomState,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> "Image.Image":
+    """torchvision RandomResizedCrop semantics."""
+    W, H = img.size
+    area = W * H
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+        aspect = np.exp(rng.uniform(*log_ratio))
+        w = int(round(np.sqrt(target_area * aspect)))
+        h = int(round(np.sqrt(target_area / aspect)))
+        if 0 < w <= W and 0 < h <= H:
+            x = rng.randint(0, W - w + 1)
+            y = rng.randint(0, H - h + 1)
+            return img.crop((x, y, x + w, y + h)).resize((size, size),
+                                                         Image.BILINEAR)
+    return center_crop_resize(img, size)
+
+
+def center_crop_resize(img: "Image.Image", size: int) -> "Image.Image":
+    """Resize shorter side to ``size`` then center-crop
+    (reference: src/main.py:147-150)."""
+    W, H = img.size
+    scale = size / min(W, H)
+    img = img.resize((max(size, int(round(W * scale))),
+                      max(size, int(round(H * scale)))), Image.BILINEAR)
+    W, H = img.size
+    left = (W - size) // 2
+    top = (H - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def load_image(path: str, size: int, train: bool,
+               rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Decode + transform one image to uint8 [size, size, 3]."""
+    img = Image.open(path).convert("RGB")
+    if train:
+        rng = rng or np.random
+        img = random_resized_crop(img, size, rng)
+        if rng.rand() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    else:
+        img = center_crop_resize(img, size)
+    return np.asarray(img, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class COCOCaptionDataset:
+    """COCO captions dataset (reference: src/data/dataset.py:12-177)."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        annotation_file: str,
+        image_dir: str,
+        tokenizer,
+        image_size: int = 224,
+        max_length: int = 50,
+        is_training: bool = True,
+        max_ref_captions: int = 5,
+        seed: int = 0,
+    ):
+        self.root_dir = root_dir
+        self.image_dir = os.path.join(root_dir, image_dir)
+        self.annotation_path = os.path.join(root_dir, annotation_file)
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.max_length = max_length
+        self.is_training = is_training
+        self.max_ref_captions = max_ref_captions
+        self.rng = np.random.RandomState(seed)
+
+        with open(self.annotation_path) as f:
+            self.annotations = json.load(f)
+        self._process_annotations()
+
+    def _process_annotations(self):
+        """reference: src/data/dataset.py:54-100."""
+        self.image_id_to_filename = {
+            img["id"]: img["file_name"] for img in self.annotations["images"]
+        }
+        examples = []
+        for ann in self.annotations["annotations"]:
+            if ann["image_id"] not in self.image_id_to_filename:
+                continue
+            examples.append({
+                "image_id": ann["image_id"],
+                "filename": self.image_id_to_filename[ann["image_id"]],
+                "caption": ann["caption"],
+            })
+        if self.is_training:
+            self.examples = examples
+        else:
+            grouped: Dict[int, Dict[str, Any]] = {}
+            for ex in examples:
+                g = grouped.setdefault(
+                    ex["image_id"], {"filename": ex["filename"], "captions": []})
+                g["captions"].append(ex["caption"])
+            self.examples = [
+                {"image_id": iid, "filename": d["filename"],
+                 "captions": d["captions"]}
+                for iid, d in grouped.items()
+            ]
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        ex = self.examples[idx]
+        image = load_image(os.path.join(self.image_dir, ex["filename"]),
+                           self.image_size, self.is_training, self.rng)
+        if self.is_training:
+            ids, mask = self.tokenizer.encode(ex["caption"], self.max_length)
+            return {
+                "image": image,
+                "caption_tokens": ids,
+                "attention_mask": mask,
+                "caption": ex["caption"],
+                "image_id": ex["image_id"],
+            }
+        # eval: all references, padded to a fixed count (SURVEY.md §2.4 fix)
+        R = self.max_ref_captions
+        caps = ex["captions"][:R]
+        ids = np.zeros((R, self.max_length), dtype=np.int32)
+        mask = np.zeros((R, self.max_length), dtype=np.int32)
+        ref_mask = np.zeros(R, dtype=np.int32)
+        for i, cap in enumerate(caps):
+            ids[i], mask[i] = self.tokenizer.encode(cap, self.max_length)
+            ref_mask[i] = 1
+        return {
+            "image": image,
+            "caption_tokens": ids,
+            "attention_mask": mask,
+            "ref_mask": ref_mask,
+            "captions": ex["captions"],
+            "image_id": ex["image_id"],
+        }
+
+    def caption_lengths(self) -> np.ndarray:
+        """Token lengths per example (curriculum difficulty input,
+        reference: src/train/curriculum.py:82-98). Training mode only."""
+        return np.array(
+            [len(ex["caption"].split()) for ex in self.examples], dtype=np.int32)
+
+
+class ObjectDetectionFeaturesDataset:
+    """Pre-extracted detector features (.npz with ``features`` and ``boxes``
+    per image id; reference: src/data/dataset.py:180-387). Pads/truncates to
+    ``max_objects``; zero-fills on load failure (:307-315)."""
+
+    def __init__(self, features_dir: str, annotation_file: str, tokenizer,
+                 max_objects: int = 36, max_length: int = 50,
+                 is_training: bool = True, feature_dim: int = 2048,
+                 max_ref_captions: int = 5):
+        self.features_dir = features_dir
+        self.tokenizer = tokenizer
+        self.max_objects = max_objects
+        self.max_length = max_length
+        self.is_training = is_training
+        self.feature_dim = feature_dim
+        self.max_ref_captions = max_ref_captions
+
+        with open(annotation_file) as f:
+            self.annotations = json.load(f)
+        self.image_id_to_filename = {
+            img["id"]: f"{img['id']}.npz" for img in self.annotations["images"]
+        }
+        examples = []
+        for ann in self.annotations["annotations"]:
+            if ann["image_id"] not in self.image_id_to_filename:
+                continue
+            examples.append({
+                "image_id": ann["image_id"],
+                "filename": self.image_id_to_filename[ann["image_id"]],
+                "caption": ann["caption"],
+            })
+        if is_training:
+            self.examples = examples
+        else:
+            grouped: Dict[int, Dict[str, Any]] = {}
+            for ex in examples:
+                g = grouped.setdefault(
+                    ex["image_id"], {"filename": ex["filename"], "captions": []})
+                g["captions"].append(ex["caption"])
+            self.examples = [
+                {"image_id": iid, "filename": d["filename"],
+                 "captions": d["captions"]}
+                for iid, d in grouped.items()
+            ]
+
+    def __len__(self):
+        return len(self.examples)
+
+    def _load_features(self, filename: str):
+        N, D = self.max_objects, self.feature_dim
+        feats = np.zeros((N, D), dtype=np.float32)
+        boxes = np.zeros((N, 4), dtype=np.float32)
+        mask = np.zeros(N, dtype=bool)
+        try:
+            data = np.load(os.path.join(self.features_dir, filename),
+                           allow_pickle=True)
+            f, b = data["features"], data["boxes"]
+            n = min(f.shape[0], N)
+            feats[:n] = f[:n]
+            boxes[:n] = b[:n]
+            mask[:n] = True
+        except Exception as e:  # zero-fill fallback (reference :307-315)
+            print(f"Error loading features for {filename}: {e}")
+        return feats, boxes, mask
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        ex = self.examples[idx]
+        feats, boxes, mask = self._load_features(ex["filename"])
+        base = {
+            "region_features": feats,
+            "region_boxes": boxes,
+            "region_mask": mask,
+            "image_id": ex["image_id"],
+        }
+        if self.is_training:
+            ids, amask = self.tokenizer.encode(ex["caption"], self.max_length)
+            return dict(base, caption_tokens=ids, attention_mask=amask,
+                        caption=ex["caption"])
+        R = self.max_ref_captions
+        ids = np.zeros((R, self.max_length), dtype=np.int32)
+        amask = np.zeros((R, self.max_length), dtype=np.int32)
+        ref_mask = np.zeros(R, dtype=np.int32)
+        for i, cap in enumerate(ex["captions"][:R]):
+            ids[i], amask[i] = self.tokenizer.encode(cap, self.max_length)
+            ref_mask[i] = 1
+        return dict(base, caption_tokens=ids, attention_mask=amask,
+                    ref_mask=ref_mask, captions=ex["captions"])
+
+
+# ---------------------------------------------------------------------------
+# Batching
+# ---------------------------------------------------------------------------
+
+_STACK_KEYS = {"image", "caption_tokens", "attention_mask", "ref_mask",
+               "region_features", "region_boxes", "region_mask", "image_id"}
+
+
+def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack array fields; keep strings/lists as Python lists."""
+    out: Dict[str, Any] = {}
+    for k in samples[0]:
+        if k in _STACK_KEYS:
+            out[k] = np.stack([np.asarray(s[k]) for s in samples])
+        else:
+            out[k] = [s[k] for s in samples]
+    return out
+
+
+def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
+                    drop_last: bool = True,
+                    sampler: Optional[Iterator[int]] = None,
+                    seed: int = 0) -> Iterator[Dict[str, Any]]:
+    """Yield fixed-shape batches. ``sampler`` (e.g. the curriculum sampler)
+    overrides shuffling (reference: src/data/dataset.py:445-462)."""
+    if sampler is not None:
+        indices = list(sampler)
+    else:
+        indices = list(range(len(dataset)))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(indices)
+    for start in range(0, len(indices), batch_size):
+        chunk = indices[start:start + batch_size]
+        if len(chunk) < batch_size and drop_last:
+            return
+        yield collate([dataset[i] for i in chunk])
+
+
+def build_coco_datasets(config, tokenizer):
+    """Train/val dataset pair from a Config
+    (reference: build_coco_dataloaders, src/data/dataset.py:390-472)."""
+    train = COCOCaptionDataset(
+        root_dir=config.data_root,
+        annotation_file=config.train_json,
+        image_dir=config.train_image_dir,
+        tokenizer=tokenizer,
+        image_size=config.image_size,
+        max_length=config.model.decoder.max_length,
+        is_training=True,
+        seed=config.seed,
+    )
+    val = COCOCaptionDataset(
+        root_dir=config.data_root,
+        annotation_file=config.val_json,
+        image_dir=config.val_image_dir,
+        tokenizer=tokenizer,
+        image_size=config.image_size,
+        max_length=config.model.decoder.max_length,
+        is_training=False,
+        seed=config.seed,
+    )
+    return train, val
