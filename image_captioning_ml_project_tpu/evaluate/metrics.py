@@ -1,0 +1,337 @@
+"""Caption evaluation metrics: BLEU-1..4, ROUGE-L, CIDEr-D, METEOR(-lite),
+SPICE gate — with per-sample scores.
+
+The reference delegates to pycocoevalcap when installed and otherwise falls
+back to a precision-only BLEU placeholder
+(reference: src/evaluate/metrics.py:20-138). This module keeps the
+pycocoevalcap fast-path for bit-level parity with published numbers
+(:func:`calculate_metrics` prefers it when importable) but ships complete
+self-contained implementations:
+
+* **BLEU** — corpus-level with clipped n-gram precision, closest-ref-length
+  brevity penalty and pycocoevalcap's tiny-epsilon ratio smoothing.
+* **ROUGE-L** — LCS F-measure with beta=1.2, max over refs, mean over images.
+* **CIDEr-D** — tf-idf n-gram cosine (n=1..4) with count clipping, length
+  gaussian (sigma=6), df from the evaluation corpus, x10 scaling.
+* **METEOR-lite** — exact-match harmonic mean (alpha=0.9) with chunk
+  fragmentation penalty; a documented approximation of Java METEOR (no
+  WordNet synonymy in this environment).
+
+Every scorer also returns **per-sample** scores; SCST consumes per-sample
+CIDEr (fixing the reference defect where corpus-level scalars were broadcast
+as rewards, SURVEY.md §2.4 / src/train/trainer.py:455-482).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # parity fast-path (reference: src/evaluate/metrics.py:7-17)
+    from pycocoevalcap.tokenizer.ptbtokenizer import PTBTokenizer  # noqa: F401
+    from pycocoevalcap.bleu.bleu import Bleu  # noqa: F401
+    from pycocoevalcap.meteor.meteor import Meteor  # noqa: F401
+    from pycocoevalcap.rouge.rouge import Rouge  # noqa: F401
+    from pycocoevalcap.cider.cider import Cider  # noqa: F401
+
+    PYCOCOEVALCAP_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PYCOCOEVALCAP_AVAILABLE = False
+
+_PUNCT_RE = re.compile(r"[^a-z0-9 ]+")
+
+
+def metric_tokenize(text: str) -> List[str]:
+    """PTB-like normalization: lowercase, strip punctuation, split."""
+    return _PUNCT_RE.sub(" ", text.lower()).split()
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+# ---------------------------------------------------------------------------
+# BLEU
+# ---------------------------------------------------------------------------
+
+
+def bleu(generated: List[List[str]], references: List[List[List[str]]],
+         max_n: int = 4) -> Tuple[List[float], np.ndarray]:
+    """Corpus BLEU-1..max_n (cumulative, uniform weights) plus per-sample
+    sentence scores. pycocoevalcap-compatible: clipped counts, closest ref
+    length, tiny-epsilon smoothing on ratios."""
+    tiny, small = 1e-15, 1e-9
+    totals = np.zeros(max_n)
+    correct = np.zeros(max_n)
+    cand_len, ref_len = 0, 0
+    per_sample = np.zeros((len(generated), max_n))
+
+    for i, (cand, refs) in enumerate(zip(generated, references)):
+        c = len(cand)
+        # closest reference length (ties -> shorter)
+        r = min((abs(len(r) - c), len(r)) for r in refs)[1] if refs else 0
+        cand_len += c
+        ref_len += r
+        s_correct = np.zeros(max_n)
+        s_total = np.zeros(max_n)
+        for n in range(1, max_n + 1):
+            cand_ngrams = _ngrams(cand, n)
+            max_ref = Counter()
+            for ref in refs:
+                for ng, cnt in _ngrams(ref, n).items():
+                    max_ref[ng] = max(max_ref[ng], cnt)
+            clipped = sum(min(cnt, max_ref[ng]) for ng, cnt in cand_ngrams.items())
+            total = max(0, c - n + 1)
+            correct[n - 1] += clipped
+            totals[n - 1] += total
+            s_correct[n - 1] = clipped
+            s_total[n - 1] = total
+        # sentence-level score (with brevity penalty against closest ref)
+        s_bp = 1.0 if c > r else math.exp(1 - r / c) if c > 0 else 0.0
+        p = 1.0
+        for n in range(max_n):
+            p *= (s_correct[n] + tiny) / (s_total[n] + small)
+            per_sample[i, n] = (p ** (1.0 / (n + 1))) * s_bp
+
+    bp = 1.0 if cand_len > ref_len else (
+        math.exp(1 - ref_len / cand_len) if cand_len > 0 else 0.0)
+    scores = []
+    p = 1.0
+    for n in range(max_n):
+        p *= (correct[n] + tiny) / (totals[n] + small)
+        scores.append((p ** (1.0 / (n + 1))) * bp)
+    return scores, per_sample
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L
+# ---------------------------------------------------------------------------
+
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    dp = np.zeros((len(b) + 1,), dtype=np.int32)
+    for x in a:
+        prev = 0
+        for j, y in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if x == y else max(dp[j], dp[j - 1])
+            prev = cur
+    return int(dp[-1])
+
+
+def rouge_l(generated: List[List[str]], references: List[List[List[str]]],
+            beta: float = 1.2) -> Tuple[float, np.ndarray]:
+    """pycocoevalcap Rouge: per-image max over refs of the LCS F-measure."""
+    per_sample = np.zeros(len(generated))
+    for i, (cand, refs) in enumerate(zip(generated, references)):
+        best = 0.0
+        for ref in refs:
+            lcs = _lcs_len(cand, ref)
+            if lcs == 0:
+                continue
+            prec = lcs / len(cand) if cand else 0.0
+            rec = lcs / len(ref) if ref else 0.0
+            if prec and rec:
+                f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
+                best = max(best, f)
+        per_sample[i] = best
+    return float(per_sample.mean()) if len(generated) else 0.0, per_sample
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D
+# ---------------------------------------------------------------------------
+
+
+def cider_document_frequency(references: List[List[List[str]]],
+                             max_n: int = 4) -> Dict[tuple, float]:
+    """Document frequency of each n-gram over the reference corpus (one
+    count per image that mentions it)."""
+    df: Dict[tuple, float] = defaultdict(float)
+    for refs in references:
+        seen = set()
+        for ref in refs:
+            for n in range(1, max_n + 1):
+                seen.update(_ngrams(ref, n).keys())
+        for ng in seen:
+            df[ng] += 1.0
+    return dict(df)
+
+
+def cider_d(generated: List[List[str]], references: List[List[List[str]]],
+            df: Optional[Dict[tuple, float]] = None,
+            log_num_images: Optional[float] = None,
+            max_n: int = 4, sigma: float = 6.0) -> Tuple[float, np.ndarray]:
+    """CIDEr-D with per-sample scores. ``df``/``log_num_images`` can be
+    precomputed from a larger corpus (for SCST rewards against the train
+    set); by default they come from ``references`` itself (standard eval)."""
+    if df is None:
+        df = cider_document_frequency(references, max_n)
+    if log_num_images is None:
+        log_num_images = math.log(max(len(references), 1))
+
+    def counts_to_vec(tokens):
+        vecs, norms = [], []
+        for n in range(1, max_n + 1):
+            vec = {}
+            for ng, cnt in _ngrams(tokens, n).items():
+                idf = log_num_images - math.log(max(df.get(ng, 0.0), 1.0))
+                vec[ng] = cnt * idf
+            vecs.append(vec)
+            norms.append(math.sqrt(sum(v * v for v in vec.values())))
+        return vecs, norms
+
+    per_sample = np.zeros(len(generated))
+    for i, (cand, refs) in enumerate(zip(generated, references)):
+        c_vecs, c_norms = counts_to_vec(cand)
+        score_n = np.zeros(max_n)
+        for ref in refs:
+            r_vecs, r_norms = counts_to_vec(ref)
+            delta = len(cand) - len(ref)
+            for n in range(max_n):
+                val = 0.0
+                for ng, w in c_vecs[n].items():
+                    if ng in r_vecs[n]:
+                        val += min(w, r_vecs[n][ng]) * r_vecs[n][ng]
+                if c_norms[n] and r_norms[n]:
+                    val /= c_norms[n] * r_norms[n]
+                val *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+                score_n[n] += val
+        if refs:
+            score_n /= len(refs)
+        per_sample[i] = 10.0 * float(score_n.mean())
+    return float(per_sample.mean()) if len(generated) else 0.0, per_sample
+
+
+# ---------------------------------------------------------------------------
+# METEOR-lite
+# ---------------------------------------------------------------------------
+
+
+def meteor_lite(generated: List[List[str]], references: List[List[List[str]]],
+                alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5
+                ) -> Tuple[float, np.ndarray]:
+    """Exact-match METEOR approximation with chunk penalty (no
+    stem/synonym stages — Java METEOR not available in this environment)."""
+    per_sample = np.zeros(len(generated))
+    for i, (cand, refs) in enumerate(zip(generated, references)):
+        best = 0.0
+        for ref in refs:
+            # greedy positional alignment of exact matches
+            used = [False] * len(ref)
+            align = []
+            for ci, w in enumerate(cand):
+                for ri, rw in enumerate(ref):
+                    if not used[ri] and rw == w:
+                        used[ri] = True
+                        align.append((ci, ri))
+                        break
+            m = len(align)
+            if m == 0:
+                continue
+            prec = m / len(cand)
+            rec = m / len(ref)
+            fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
+            chunks = 1
+            for (c0, r0), (c1, r1) in zip(align, align[1:]):
+                if c1 != c0 + 1 or r1 != r0 + 1:
+                    chunks += 1
+            penalty = gamma * (chunks / m) ** beta
+            best = max(best, fmean * (1 - penalty))
+        per_sample[i] = best
+    return float(per_sample.mean()) if len(generated) else 0.0, per_sample
+
+
+# ---------------------------------------------------------------------------
+# Aggregate entry points
+# ---------------------------------------------------------------------------
+
+
+def calculate_metrics_native(generated_captions: List[str],
+                             reference_captions: List[List[str]],
+                             per_sample: bool = False) -> Dict[str, object]:
+    gen = [metric_tokenize(g) for g in generated_captions]
+    refs = [[metric_tokenize(r) for r in rs] for rs in reference_captions]
+    bleu_scores, bleu_ps = bleu(gen, refs)
+    rl, rl_ps = rouge_l(gen, refs)
+    cd, cd_ps = cider_d(gen, refs)
+    mt, mt_ps = meteor_lite(gen, refs)
+    out: Dict[str, object] = {
+        "Bleu_1": bleu_scores[0], "Bleu_2": bleu_scores[1],
+        "Bleu_3": bleu_scores[2], "Bleu_4": bleu_scores[3],
+        "METEOR": mt, "ROUGE_L": rl, "CIDEr": cd,
+    }
+    if per_sample:
+        out["per_sample"] = {
+            "Bleu_4": bleu_ps[:, 3], "ROUGE_L": rl_ps, "CIDEr": cd_ps,
+            "METEOR": mt_ps,
+        }
+    return out
+
+
+def calculate_metrics_pycocoevalcap(generated_captions, reference_captions,
+                                    image_ids=None) -> Dict[str, float]:
+    """Reference parity path (reference: src/evaluate/metrics.py:46-110)."""
+    if image_ids is None:
+        image_ids = list(range(len(generated_captions)))
+    gts, res = {}, {}
+    for i, (gen, refs) in enumerate(zip(generated_captions, reference_captions)):
+        iid = image_ids[i]
+        gts[iid] = [{"caption": r} for r in refs]
+        res[iid] = [{"caption": gen}]
+    tokenizer = PTBTokenizer()
+    gts = tokenizer.tokenize(gts)
+    res = tokenizer.tokenize(res)
+    scorers = [
+        (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
+        (Meteor(), "METEOR"),
+        (Rouge(), "ROUGE_L"),
+        (Cider(), "CIDEr"),
+    ]
+    if os.environ.get("CALCULATE_SPICE", "0") == "1":
+        from pycocoevalcap.spice.spice import Spice
+
+        scorers.append((Spice(), "SPICE"))
+    scores: Dict[str, float] = {}
+    for scorer, method in scorers:
+        score, _ = scorer.compute_score(gts, res)
+        if isinstance(method, list):
+            for sc, m in zip(score, method):
+                scores[m] = sc
+        else:
+            scores[method] = score
+    return scores
+
+
+def calculate_metrics(generated_captions: List[str],
+                      reference_captions: List[List[str]],
+                      image_ids: Optional[List[int]] = None) -> Dict[str, float]:
+    """Main entry (reference: src/evaluate/metrics.py:20-43): pycocoevalcap
+    when available, self-contained scorers otherwise."""
+    if PYCOCOEVALCAP_AVAILABLE:
+        try:
+            return calculate_metrics_pycocoevalcap(
+                generated_captions, reference_captions, image_ids)
+        except Exception:
+            pass  # e.g. Java missing for METEOR — fall through to native
+    return {k: v for k, v in calculate_metrics_native(
+        generated_captions, reference_captions).items()}
+
+
+def per_sample_cider(generated_captions: List[str],
+                     reference_captions: List[List[str]],
+                     df: Optional[Dict[tuple, float]] = None,
+                     log_num_images: Optional[float] = None) -> np.ndarray:
+    """Per-sample CIDEr-D rewards for SCST (fixes the corpus-broadcast
+    reward defect, SURVEY.md §2.4)."""
+    gen = [metric_tokenize(g) for g in generated_captions]
+    refs = [[metric_tokenize(r) for r in rs] for rs in reference_captions]
+    _, ps = cider_d(gen, refs, df=df, log_num_images=log_num_images)
+    return ps

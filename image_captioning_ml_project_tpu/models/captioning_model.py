@@ -163,8 +163,14 @@ class ImageCaptioningModel(nn.Module):
         out = self.decoder(encoder_features, captions,
                            caption_lengths=caption_lengths,
                            deterministic=not train)
-        # expose pooled image features for contrastive/ITM losses
+        # expose pooled image/text features for contrastive/ITM losses
         out["pooled_features"] = encoder_features["pooled_features"]
+        if "hidden_states" in out:
+            mask = (captions != self.config.model.pad_token_id)
+            m = mask.astype(out["hidden_states"].dtype)[..., None]
+            out["text_features"] = (
+                (out["hidden_states"] * m).sum(axis=1)
+                / jnp.maximum(m.sum(axis=1), 1.0))
         return out
 
     def generate(self, images, max_length: Optional[int] = None

@@ -123,14 +123,15 @@ class LSTMDecoder(nn.Module):
                 h, c, prev_context, emb_t, features, key_padding_mask)
             logits_t = mdl.output_layer(
                 mdl.drop(context, deterministic=deterministic))
-            return (h, c, context), (logits_t, attn_w)
+            return (h, c, context), (logits_t, attn_w, h[:, -1])
 
         # nn.scan over time axis 1: params broadcast, dropout rng split.
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True},
                        in_axes=1, out_axes=1)
-        _, (logits, attn_ws) = scan(self, (h, c, prev_context), embeddings)
-        return {"logits": logits, "attention_weights": attn_ws}
+        _, (logits, attn_ws, hidden) = scan(self, (h, c, prev_context), embeddings)
+        return {"logits": logits, "attention_weights": attn_ws,
+                "hidden_states": hidden}
 
     def generate(self, encoder_features: Dict[str, jnp.ndarray],
                  max_length: int,

@@ -226,7 +226,7 @@ class GPT2Decoder(nn.Module):
 
         hidden, _ = self.backbone.full(x, attn_bias=attn_bias)
         logits = self.backbone.logits(hidden[:, P:])
-        return {"logits": logits}
+        return {"logits": logits, "hidden_states": hidden[:, P:]}
 
     # -- uniform decode interface -------------------------------------------
 

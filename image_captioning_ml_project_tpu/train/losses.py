@@ -1,0 +1,165 @@
+"""Training losses: shifted cross-entropy, doubly-stochastic attention
+regularization, CLIP-style contrastive, and image-text matching.
+
+Parity with the reference's loss surface
+(reference: src/train/losses.py:15-263 plus the legacy stack's attention
+regularization, train.py:101), as pure functions + one small Flax module for
+the ITM classifier head.
+
+Data-parallel note (SURVEY.md §2.3): the contrastive loss builds a global
+B×B similarity matrix (reference: src/train/losses.py:57). Under
+``jit`` over a batch sharded on the mesh's data axis, XLA inserts the
+all-gather for the ``image @ text.T`` contraction automatically — no manual
+collective is needed; the loss is computed over the *global* batch exactly
+as in the single-device reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def shifted_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
+                          pad_token_id: int) -> jnp.ndarray:
+    """Language-modeling CE: predict targets[t+1] from logits[t], ignoring
+    pad positions (reference: src/train/losses.py:235-243)."""
+    shift_logits = logits[:, :-1]
+    shift_targets = targets[:, 1:]
+    mask = (shift_targets != pad_token_id).astype(jnp.float32)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, shift_targets[..., None], axis=-1)[..., 0]
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def attention_regularization(attention_weights: jnp.ndarray,
+                             token_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Doubly-stochastic regularization ``((1 - sum_t alpha)^2).mean()``
+    (reference legacy stack: train.py:101). attention_weights [B, T, S];
+    token_mask [B, T] marks real caption steps."""
+    if token_mask is not None:
+        attention_weights = attention_weights * token_mask[:, :, None]
+    total = attention_weights.sum(axis=1)  # [B, S]
+    return ((1.0 - total) ** 2).mean()
+
+
+def contrastive_loss(image_features: jnp.ndarray, text_features: jnp.ndarray,
+                     temperature: float = 0.07) -> jnp.ndarray:
+    """Symmetric InfoNCE (reference: src/train/losses.py:34-75)."""
+    img = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+    txt = text_features / jnp.linalg.norm(text_features, axis=-1, keepdims=True)
+    logits = img @ txt.T / temperature
+    labels = jnp.arange(logits.shape[0])
+    logp_i2t = jax.nn.log_softmax(logits, axis=-1)
+    logp_t2i = jax.nn.log_softmax(logits.T, axis=-1)
+    loss_i2t = -jnp.take_along_axis(logp_i2t, labels[:, None], axis=-1).mean()
+    loss_t2i = -jnp.take_along_axis(logp_t2i, labels[:, None], axis=-1).mean()
+    return (loss_i2t + loss_t2i) / 2.0
+
+
+class ITMHead(nn.Module):
+    """Image-text matching binary classifier
+    (reference: src/train/losses.py:100-108): MLP over [img; txt] → 2."""
+
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_features, text_features, deterministic=True):
+        x = jnp.concatenate([image_features, text_features], axis=-1)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(rate=0.1)(x, deterministic=deterministic)
+        return nn.Dense(2, dtype=self.dtype)(x)
+
+
+def itm_loss(head: ITMHead, head_variables, image_features, text_features,
+             rng: jax.Array, negative_ratio: float = 0.5,
+             deterministic: bool = True) -> jnp.ndarray:
+    """ITM loss with rolled negative sampling
+    (reference: src/train/losses.py:110-166): positives are aligned pairs;
+    negatives pair a random subset of images with *rolled* shuffled texts."""
+    B = image_features.shape[0]
+    num_neg = int(B * negative_ratio)
+    perm_rng, drop_rng = jax.random.split(rng)
+    neg_idx = jax.random.permutation(perm_rng, B)[:num_neg]
+    neg_txt_idx = jnp.roll(neg_idx, 1)
+
+    all_img = jnp.concatenate([image_features, image_features[neg_idx]], axis=0)
+    all_txt = jnp.concatenate([text_features, text_features[neg_txt_idx]], axis=0)
+    labels = jnp.concatenate(
+        [jnp.ones(B, dtype=jnp.int32), jnp.zeros(num_neg, dtype=jnp.int32)])
+
+    logits = head.apply(head_variables, all_img, all_txt,
+                        deterministic=deterministic,
+                        rngs={"dropout": drop_rng} if not deterministic else {})
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+
+class CombinedLoss(nn.Module):
+    """CE + weighted contrastive + weighted ITM (+ attention regularization)
+    as one module so the ITM head's parameters live in the train state
+    (reference: src/train/losses.py:169-263; weights at
+    src/train/trainer.py:74-82)."""
+
+    pad_token_id: int
+    use_contrastive: bool = False
+    use_itm: bool = False
+    contrastive_weight: float = 0.1
+    itm_weight: float = 0.1
+    temperature: float = 0.07
+    hidden_dim: int = 768
+    attention_reg_weight: float = 0.0
+    negative_ratio: float = 0.5
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.use_itm:
+            self.itm_head = ITMHead(self.hidden_dim, dtype=self.dtype)
+
+    def __call__(self, logits, targets, image_features=None,
+                 text_features=None, attention_weights=None,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        ce = shifted_cross_entropy(logits, targets, self.pad_token_id)
+        total = ce
+        out = {"ce_loss": ce}
+
+        if (self.use_contrastive and image_features is not None
+                and text_features is not None):
+            cl = contrastive_loss(image_features, text_features, self.temperature)
+            total = total + self.contrastive_weight * cl
+            out["contrastive_loss"] = cl
+
+        if (self.use_itm and image_features is not None
+                and text_features is not None):
+            B = image_features.shape[0]
+            num_neg = int(B * self.negative_ratio)
+            rng = self.make_rng("itm")
+            perm_rng, drop_rng = jax.random.split(rng)
+            neg_idx = jax.random.permutation(perm_rng, B)[:num_neg]
+            neg_txt_idx = jnp.roll(neg_idx, 1)
+            all_img = jnp.concatenate(
+                [image_features, image_features[neg_idx]], axis=0)
+            all_txt = jnp.concatenate(
+                [text_features, text_features[neg_txt_idx]], axis=0)
+            labels = jnp.concatenate(
+                [jnp.ones(B, dtype=jnp.int32), jnp.zeros(num_neg, dtype=jnp.int32)])
+            itm_logits = self.itm_head(all_img, all_txt,
+                                       deterministic=deterministic)
+            logp = jax.nn.log_softmax(itm_logits, axis=-1)
+            il = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+            total = total + self.itm_weight * il
+            out["itm_loss"] = il
+
+        if self.attention_reg_weight > 0.0 and attention_weights is not None:
+            token_mask = (targets != self.pad_token_id).astype(jnp.float32)
+            ar = attention_regularization(attention_weights, token_mask)
+            total = total + self.attention_reg_weight * ar
+            out["attention_reg_loss"] = ar
+
+        out["total_loss"] = total
+        return out

@@ -1,0 +1,85 @@
+"""Loss tests: shifted CE vs torch, attention regularization, contrastive vs
+torch, ITM shapes/behavior, combined loss wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from image_captioning_ml_project_tpu.train.losses import (
+    CombinedLoss,
+    attention_regularization,
+    contrastive_loss,
+    shifted_cross_entropy,
+)
+
+B, T, V, H = 4, 6, 11, 8
+PAD = 0
+
+
+def test_shifted_ce_matches_torch(rng):
+    logits = rng.randn(B, T, V).astype(np.float32)
+    targets = rng.randint(0, V, (B, T))
+    targets[:, -2:] = PAD
+    ours = float(shifted_cross_entropy(jnp.asarray(logits), jnp.asarray(targets), PAD))
+    lt = torch.tensor(logits)[:, :-1].reshape(-1, V)
+    tt = torch.tensor(targets)[:, 1:].reshape(-1)
+    want = float(F.cross_entropy(lt, tt, ignore_index=PAD))
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_attention_regularization():
+    # perfectly doubly-stochastic attention -> zero reg
+    Tn, S = 4, 4
+    w = np.full((2, Tn, S), 1.0 / Tn, dtype=np.float32)
+    assert float(attention_regularization(jnp.asarray(w))) < 1e-10
+    # all-zero attention -> reg = 1
+    w0 = np.zeros((2, Tn, S), dtype=np.float32)
+    np.testing.assert_allclose(float(attention_regularization(jnp.asarray(w0))), 1.0)
+
+
+def test_contrastive_matches_torch(rng):
+    img = rng.randn(B, H).astype(np.float32)
+    txt = rng.randn(B, H).astype(np.float32)
+    ours = float(contrastive_loss(jnp.asarray(img), jnp.asarray(txt), 0.07))
+    ti = F.normalize(torch.tensor(img), dim=-1)
+    tt = F.normalize(torch.tensor(txt), dim=-1)
+    logits = ti @ tt.T / 0.07
+    labels = torch.arange(B)
+    want = float((F.cross_entropy(logits, labels) +
+                  F.cross_entropy(logits.T, labels)) / 2)
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_combined_loss_full(rng):
+    loss_mod = CombinedLoss(pad_token_id=PAD, use_contrastive=True,
+                            use_itm=True, hidden_dim=H,
+                            attention_reg_weight=1.0)
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    targets = jnp.asarray(rng.randint(1, V, (B, T)))
+    img = jnp.asarray(rng.randn(B, H).astype(np.float32))
+    txt = jnp.asarray(rng.randn(B, H).astype(np.float32))
+    attn = jnp.asarray(np.abs(rng.randn(B, T, 5)).astype(np.float32))
+    variables = loss_mod.init(
+        {"params": jax.random.PRNGKey(0), "itm": jax.random.PRNGKey(1)},
+        logits, targets, img, txt, attn)
+    out = loss_mod.apply(variables, logits, targets, img, txt, attn,
+                         rngs={"itm": jax.random.PRNGKey(2)})
+    for k in ["ce_loss", "contrastive_loss", "itm_loss",
+              "attention_reg_loss", "total_loss"]:
+        assert k in out and np.isfinite(float(out[k]))
+    # total = ce + 0.1*cont + 0.1*itm + 1.0*attn_reg
+    want = (float(out["ce_loss"]) + 0.1 * float(out["contrastive_loss"])
+            + 0.1 * float(out["itm_loss"]) + float(out["attention_reg_loss"]))
+    np.testing.assert_allclose(float(out["total_loss"]), want, rtol=1e-6)
+
+
+def test_combined_loss_ce_only(rng):
+    loss_mod = CombinedLoss(pad_token_id=PAD)
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    targets = jnp.asarray(rng.randint(1, V, (B, T)))
+    variables = loss_mod.init(jax.random.PRNGKey(0), logits, targets)
+    out = loss_mod.apply(variables, logits, targets)
+    assert set(out) == {"ce_loss", "total_loss"}
+    np.testing.assert_allclose(float(out["total_loss"]), float(out["ce_loss"]))

@@ -1,0 +1,112 @@
+"""Metric tests: known-value checks and cross-validation against
+pycocoevalcap semantics where computable by hand."""
+
+import math
+
+import numpy as np
+import pytest
+
+from image_captioning_ml_project_tpu.evaluate.metrics import (
+    bleu,
+    calculate_metrics,
+    calculate_metrics_native,
+    cider_d,
+    meteor_lite,
+    metric_tokenize,
+    per_sample_cider,
+    rouge_l,
+)
+
+
+def test_metric_tokenize():
+    assert metric_tokenize("A man, riding!") == ["a", "man", "riding"]
+
+
+def test_bleu_perfect_match():
+    gen = [["a", "man", "riding", "a", "horse"]]
+    refs = [[["a", "man", "riding", "a", "horse"]]]
+    scores, ps = bleu(gen, refs)
+    for s in scores:
+        assert s == pytest.approx(1.0, abs=1e-6)
+    assert ps[0, 3] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bleu_no_overlap():
+    gen = [["x", "y", "z", "w"]]
+    refs = [[["a", "b", "c", "d"]]]
+    scores, _ = bleu(gen, refs)
+    assert scores[0] < 1e-6
+
+
+def test_bleu_hand_computed():
+    # candidate: "the cat sat", ref: "the cat sat down"
+    gen = [["the", "cat", "sat"]]
+    refs = [[["the", "cat", "sat", "down"]]]
+    scores, _ = bleu(gen, refs)
+    # p1=1, p2=1, BP=exp(1-4/3)
+    bp = math.exp(1 - 4 / 3)
+    assert scores[0] == pytest.approx(bp, rel=1e-6)
+    assert scores[1] == pytest.approx(bp, rel=1e-6)
+
+
+def test_rouge_l_known():
+    gen = [["the", "cat", "sat"]]
+    refs = [[["the", "cat", "sat", "down"]]]
+    score, ps = rouge_l(gen, refs)
+    prec, rec, beta = 1.0, 3 / 4, 1.2
+    want = (1 + beta ** 2) * prec * rec / (rec + beta ** 2 * prec)
+    assert score == pytest.approx(want, rel=1e-6)
+
+
+def test_cider_identical_is_ten():
+    gen = [["a", "man", "riding", "a", "horse"],
+           ["a", "dog", "in", "the", "park"]]
+    refs = [[gen[0]], [gen[1]]]
+    score, ps = cider_d(gen, refs)
+    # identical candidate == its only ref -> cosine 1 per n, length delta 0
+    np.testing.assert_allclose(ps, 10.0, rtol=1e-6)
+    assert score == pytest.approx(10.0, rel=1e-6)
+
+
+def test_cider_orders_quality():
+    refs = [[["a", "man", "riding", "a", "horse"],
+             ["a", "person", "on", "a", "horse"]],
+            [["a", "dog", "in", "the", "park"],
+             ["a", "puppy", "playing", "outside"]]]
+    good = [["a", "man", "riding", "a", "horse"], ["a", "dog", "in", "the", "park"]]
+    bad = [["blue", "refrigerator", "quantum"], ["seven", "ideas", "sleep"]]
+    s_good, _ = cider_d(good, refs)
+    s_bad, _ = cider_d(bad, refs)
+    assert s_good > s_bad
+    assert s_bad == pytest.approx(0.0, abs=1e-6)
+
+
+def test_meteor_identical_near_one():
+    gen = [["a", "man", "riding", "a", "horse"]]
+    refs = [[gen[0]]]
+    score, _ = meteor_lite(gen, refs)
+    # perfect match: fmean=1, 1 chunk over 5 matches -> tiny penalty
+    assert score == pytest.approx(1 - 0.5 * (1 / 5) ** 3, rel=1e-6)
+
+
+def test_calculate_metrics_native_keys():
+    out = calculate_metrics_native(
+        ["a man riding a horse"], [["a man riding a horse", "a person rides"]])
+    for k in ["Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"]:
+        assert k in out
+        assert np.isfinite(out[k])
+
+
+def test_calculate_metrics_entry():
+    out = calculate_metrics(["a man riding"], [["a man riding"]])
+    assert out["Bleu_1"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_per_sample_cider_discriminates():
+    # distinct refs across the corpus so n-grams have non-zero idf
+    gens = ["a man riding a horse", "completely unrelated words here"]
+    refs = [["a man riding a horse"], ["a dog in the park"]]
+    ps = per_sample_cider(gens, refs)
+    assert ps.shape == (2,)
+    assert ps[0] > 5.0  # perfect match on its own refs
+    assert ps[1] == pytest.approx(0.0, abs=1e-6)
