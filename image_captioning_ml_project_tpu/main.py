@@ -1,0 +1,282 @@
+"""CLI entry point: ``--mode train | eval | demo``.
+
+Same flag surface as the reference
+(reference: src/main.py:17-102: --mode, --config, --save_config,
+--checkpoint, --output_dir, --batch_size, --num_epochs, --learning_rate,
+--encoder_type, --decoder_type, --attention_type, --use_rl, --data_root,
+--image_path), plus tokenizer selection flags for the no-network environment
+(--vocab to use/load a word vocabulary; HF tokenizers are used when their
+files are locally cached).
+
+Run as ``python -m image_captioning_ml_project_tpu.main ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+from .config import (
+    AttentionType,
+    Config,
+    DecoderType,
+    EncoderType,
+    get_default_config,
+    load_config,
+    save_config,
+)
+from .data.coco import build_coco_datasets, load_image, normalize_images
+from .data.tokenizer import HFTokenizerAdapter, WordVocab
+from .train.curriculum import create_curriculum_sampler
+from .train.trainer import CaptioningTrainer
+from .utils.logging import setup_logging
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native image captioning (JAX/XLA/Pallas)")
+    parser.add_argument("--mode", type=str, default="train",
+                        choices=["train", "eval", "demo"])
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--save_config", type=str, default=None)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--num_epochs", type=int, default=None)
+    parser.add_argument("--learning_rate", type=float, default=None)
+    parser.add_argument("--encoder_type", type=str, default=None,
+                        choices=["resnet", "vit", "swin", "clip"])
+    parser.add_argument("--decoder_type", type=str, default=None,
+                        choices=["lstm", "transformer", "gpt2"])
+    parser.add_argument("--attention_type", type=str, default=None,
+                        choices=["soft", "multi_head", "adaptive", "aoa"])
+    parser.add_argument("--use_rl", action="store_true")
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--image_path", type=str, default=None)
+    parser.add_argument("--vocab", type=str, default=None,
+                        help="Word-vocab JSON path (built from train "
+                             "annotations if absent)")
+    return parser
+
+
+def _update_config_from_args(config: Config, args) -> None:
+    """reference: src/main.py:105-130 — with string-enum coercion so the
+    overrides survive factory dispatch (fixes SURVEY.md §2.4 CLI defect)."""
+    if args.output_dir:
+        config.output_dir = args.output_dir
+        config.checkpoint_dir = os.path.join(args.output_dir, "checkpoints")
+    if args.batch_size:
+        config.training.batch_size = args.batch_size
+    if args.num_epochs:
+        config.training.num_epochs = args.num_epochs
+    if args.learning_rate:
+        config.training.learning_rate = args.learning_rate
+    if args.encoder_type:
+        config.model.encoder.encoder_type = EncoderType(args.encoder_type)
+    if args.decoder_type:
+        config.model.decoder.decoder_type = DecoderType(args.decoder_type)
+    if args.attention_type:
+        config.model.attention.attention_type = AttentionType(args.attention_type)
+    if args.use_rl:
+        config.training.use_rl = True
+    if args.data_root:
+        config.data_root = args.data_root
+
+
+def setup_tokenizer(config: Config, vocab_path: Optional[str] = None,
+                    build_if_missing: bool = True):
+    """Resolve the tokenizer and wire special-token ids into the config
+    (reference: src/main.py:156-168).
+
+    Order: explicit --vocab JSON → locally cached HF tokenizer for
+    ``decoder.pretrained_model_name`` → word vocabulary built from the train
+    annotations (saved to output_dir/vocab.json)."""
+    logger = logging.getLogger(__name__)
+    tokenizer = None
+    if vocab_path and os.path.exists(vocab_path):
+        tokenizer = WordVocab.load(vocab_path)
+    else:
+        try:
+            from transformers import AutoTokenizer
+
+            hf = AutoTokenizer.from_pretrained(
+                config.model.decoder.pretrained_model_name,
+                local_files_only=True)
+            tokenizer = HFTokenizerAdapter(hf)
+        except Exception:
+            if not build_if_missing:
+                raise
+            train_json = os.path.join(config.data_root, config.train_json)
+            logger.info("No cached HF tokenizer; building word vocab from %s",
+                        train_json)
+            import json
+
+            with open(train_json) as f:
+                ann = json.load(f)
+            tokenizer = WordVocab.build(
+                [a["caption"] for a in ann["annotations"]])
+            os.makedirs(config.output_dir, exist_ok=True)
+            out = vocab_path or os.path.join(config.output_dir, "vocab.json")
+            tokenizer.save(out)
+            logger.info("Saved vocab (%d words) to %s", len(tokenizer), out)
+
+    config.model.vocab_size = len(tokenizer)
+    config.model.pad_token_id = int(tokenizer.pad_token_id)
+    config.model.bos_token_id = int(tokenizer.bos_token_id)
+    config.model.eos_token_id = int(tokenizer.eos_token_id)
+    return tokenizer
+
+
+def train(config: Config, checkpoint_path=None, tokenizer=None):
+    """reference: src/main.py:133-199."""
+    logger = logging.getLogger(__name__)
+    logger.info("Starting training...")
+    tokenizer = tokenizer or setup_tokenizer(config)
+    train_ds, val_ds = build_coco_datasets(config, tokenizer)
+    sampler = create_curriculum_sampler(train_ds, config)
+    trainer = CaptioningTrainer(config, train_ds, val_ds, tokenizer,
+                                curriculum_sampler=sampler)
+    if checkpoint_path:
+        trainer.load_checkpoint(checkpoint_path)
+    trainer.train()
+    return trainer
+
+
+def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
+    """reference: src/main.py:202-267 — beam/nucleus/greedy per
+    InferenceConfig through the jit decode engine."""
+    import jax
+
+    from .data.coco import iterate_batches
+    from .data.pipeline import prefetch
+    from .evaluate.metrics import calculate_metrics
+    from .inference.decoding import decode
+
+    logger = logging.getLogger(__name__)
+    tokenizer = tokenizer or setup_tokenizer(config)
+    _, val_ds = build_coco_datasets(config, tokenizer)
+    trainer = CaptioningTrainer(config, val_ds, val_ds, tokenizer)
+    if checkpoint_path:
+        trainer.load_checkpoint(checkpoint_path)
+
+    mc = config.model
+    max_length = config.inference.max_length
+
+    @jax.jit
+    def decode_batch(state, images):
+        images = normalize_images(images)
+        variables = trainer._model_vars(state)
+        B = images.shape[0]
+        cache = trainer.model.apply(variables, images, max_length,
+                                    method=trainer.model.init_cache)
+
+        def step_fn(s, toks):
+            return trainer.model.apply(variables, s, toks,
+                                       method=trainer.model.step)
+
+        return decode(step_fn, cache, B, config.inference,
+                      mc.bos_token_id, mc.eos_token_id, mc.pad_token_id)
+
+    generated, references, image_ids = [], [], []
+    it = iterate_batches(val_ds, config.inference.num_candidates,
+                         shuffle=False, drop_last=True)
+    for batch in prefetch(it, mesh=trainer.mesh):
+        tokens = decode_batch(trainer.state, batch["image"])
+        generated.extend(tokenizer.decode(t, skip_special_tokens=True)
+                         for t in np.asarray(tokens))
+        references.extend(batch["captions"])
+        image_ids.extend(int(i) for i in np.asarray(batch["image_id"]))
+
+    metrics = calculate_metrics(generated, references, image_ids)
+    logger.info("Evaluation Results:")
+    for k, v in metrics.items():
+        logger.info("%s: %.4f", k, v)
+    return metrics
+
+
+def demo(config: Config, checkpoint_path=None, image_path=None,
+         tokenizer=None, show: bool = False):
+    """reference: src/main.py:270-343 — caption one image; saves/plots the
+    captioned image if matplotlib is available, always prints the text."""
+    import jax.numpy as jnp
+
+    logger = logging.getLogger(__name__)
+    tokenizer = tokenizer or setup_tokenizer(config)
+    # Reuse the full trainer (it owns the jitted generate); datasets unused.
+    trainer = _make_model_only_trainer(config, tokenizer)
+    if checkpoint_path:
+        trainer.load_checkpoint(checkpoint_path)
+
+    img = load_image(image_path, config.image_size, train=False)
+    images = jnp.asarray(img[None])
+    tokens = trainer._generate_step(trainer.state, images,
+                                    config.inference.max_length)
+    caption = tokenizer.decode(np.asarray(tokens)[0], skip_special_tokens=True)
+    logger.info("Generated caption: %s", caption)
+    print(caption)
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(8, 6))
+        plt.imshow(img)
+        plt.title(caption)
+        plt.axis("off")
+        out = os.path.join(config.output_dir, "demo.png")
+        os.makedirs(config.output_dir, exist_ok=True)
+        plt.savefig(out)
+        logger.info("Saved captioned image to %s", out)
+        if show:
+            plt.show()
+    except Exception:
+        pass
+    return caption
+
+
+class _EmptyDataset:
+    examples: list = []
+
+    def __len__(self):
+        return 0
+
+
+def _make_model_only_trainer(config: Config, tokenizer) -> CaptioningTrainer:
+    """A trainer with no dataset (demo / programmatic captioning)."""
+    return CaptioningTrainer(config, _EmptyDataset(), _EmptyDataset(),
+                             tokenizer)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    config = load_config(args.config) if args.config else get_default_config()
+    _update_config_from_args(config, args)
+    if args.save_config:
+        save_config(config, args.save_config)
+    setup_logging(config.output_dir)
+    logger = logging.getLogger(__name__)
+
+    import jax
+
+    logger.info("JAX devices: %s", jax.devices())
+
+    tokenizer = setup_tokenizer(config, vocab_path=args.vocab)
+
+    if args.mode == "train":
+        train(config, args.checkpoint, tokenizer=tokenizer)
+    elif args.mode == "eval":
+        evaluate(config, args.checkpoint, tokenizer=tokenizer)
+    elif args.mode == "demo":
+        if not args.image_path:
+            raise SystemExit("--image_path is required for demo mode")
+        demo(config, args.checkpoint, args.image_path, tokenizer=tokenizer)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Orbax checkpointing: model/optimizer/loss state + best-CIDEr policy.
+
+The reference saves a single torch pickle with model/optimizer/scheduler
+state, config, epoch, and best_val_score, keeping ``best_model`` separately
+on val-CIDEr improvement (reference: src/train/trainer.py:569-620). Here the
+same contract runs on Orbax (async-capable, TPU-native, sharding-aware):
+``checkpoint_epoch_N`` trees plus a ``best`` alias, with a JSON sidecar for
+config and scalar metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..config import Config, config_to_dict, config_from_dict
+
+
+class CheckpointManager:
+    """Minimal epoch-granular checkpoint store."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, state: Dict[str, Any],
+             metadata: Optional[Dict[str, Any]] = None,
+             config: Optional[Config] = None):
+        """Save a pytree under ``name`` (overwrites), with JSON metadata."""
+        path = self._path(name)
+        state = jax.tree_util.tree_map(lambda x: x, state)  # shallow copy
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        side = {"metadata": metadata or {}}
+        if config is not None:
+            side["config"] = config_to_dict(config)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(side, f)
+
+    def restore(self, name: str, target: Optional[Dict[str, Any]] = None):
+        """Restore a pytree; ``target`` provides structure/shardings."""
+        path = self._path(name)
+        if target is not None:
+            state = self._ckptr.restore(path, target)
+        else:
+            state = self._ckptr.restore(path)
+        meta_path = path + ".meta.json"
+        side = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                side = json.load(f)
+        return state, side.get("metadata", {}), side.get("config")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    def save_epoch(self, epoch: int, state, metadata=None, config=None,
+                   is_best: bool = False):
+        """Epoch checkpoint + optional ``best`` alias
+        (reference policy: src/train/trainer.py:190-198)."""
+        self.save(f"checkpoint_epoch_{epoch + 1}", state, metadata, config)
+        if is_best:
+            self.save("best_model", state, metadata, config)

@@ -1,0 +1,153 @@
+"""Trainer integration tests on synthetic COCO over the virtual 8-device
+mesh: CE training reduces loss, validation produces metrics, SCST runs,
+checkpoints round-trip."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from image_captioning_ml_project_tpu.config import (
+    AttentionType,
+    DecoderType,
+    EncoderType,
+    get_default_config,
+)
+from image_captioning_ml_project_tpu.data.coco import build_coco_datasets
+from image_captioning_ml_project_tpu.data.synthetic import make_synthetic_coco
+from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
+from image_captioning_ml_project_tpu.train.trainer import CaptioningTrainer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("coco"))
+    make_synthetic_coco(root, num_images=8, captions_per_image=3, image_size=32)
+    with open(os.path.join(root, "annotations/captions_train2014.json")) as f:
+        ann = json.load(f)
+    vocab = WordVocab.build([a["caption"] for a in ann["annotations"]],
+                            threshold=1)
+
+    cfg = get_default_config()
+    cfg.data_root = root
+    cfg.image_size = 32
+    cfg.seed = 0
+    cfg.output_dir = str(tmp_path_factory.mktemp("out"))
+    cfg.checkpoint_dir = str(tmp_path_factory.mktemp("ckpt"))
+    cfg.log_every = 1
+    cfg.model.encoder.encoder_type = EncoderType.VIT
+    cfg.model.encoder.feature_dim = 16
+    cfg.model.encoder.hidden_size = 16
+    cfg.model.encoder.num_layers = 1
+    cfg.model.encoder.num_heads = 2
+    cfg.model.encoder.patch_size = 8
+    cfg.model.encoder.image_size = 32
+    cfg.model.decoder.decoder_type = DecoderType.LSTM
+    cfg.model.decoder.hidden_dim = 16
+    cfg.model.decoder.num_layers = 1
+    cfg.model.decoder.max_length = 16
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.attention.attention_type = AttentionType.SOFT
+    cfg.model.attention.hidden_dim = 16
+    cfg.model.projection_dim = 16
+    cfg.model.vocab_size = vocab.vocab_size
+    cfg.model.pad_token_id = vocab.pad_token_id
+    cfg.model.bos_token_id = vocab.bos_token_id
+    cfg.model.eos_token_id = vocab.eos_token_id
+    cfg.training.batch_size = 8
+    cfg.training.num_epochs = 1
+    cfg.training.use_rl = False
+    cfg.training.use_amp = False
+    cfg.training.learning_rate = 1e-2
+    cfg.training.warmup_steps = 1
+    cfg.inference.max_length = 8
+    cfg.inference.num_candidates = 8
+
+    train_ds, val_ds = build_coco_datasets(cfg, vocab)
+    return cfg, vocab, train_ds, val_ds
+
+
+def test_train_step_reduces_loss(setup):
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    cfg.training.num_epochs = 10  # schedule horizon > steps taken below
+    trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    batch = next(iter(trainer._train_batches()))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(15):
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, batch["image"], batch["caption_tokens"], rng)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert np.isfinite(losses).all()
+
+
+def test_full_train_loop_and_checkpoint(setup):
+    cfg, vocab, train_ds, val_ds = setup
+    trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    trainer.train()
+    # validation wrote metrics & checkpoint exists
+    assert trainer.ckpt.exists("checkpoint_epoch_1")
+
+    # fresh trainer restores
+    t2 = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    t2.load_checkpoint("checkpoint_epoch_1")
+    assert t2.start_epoch == 1
+    # params actually equal
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(t2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_validation_metrics(setup):
+    cfg, vocab, train_ds, val_ds = setup
+    trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    val_loss, metrics = trainer._validate_epoch(0)
+    assert np.isfinite(val_loss)
+    assert "CIDEr" in metrics
+
+
+def test_scst_runs(setup):
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.training.use_rl = True
+    cfg2.training.rl_start_epoch = 0
+    trainer = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    trainer._train_reinforcement_learning(0, jax.random.PRNGKey(0))
+    after = trainer.state.params
+    # params moved (some advantage was non-zero) or at least step advanced
+    assert int(trainer.state.step) > 0
+
+
+def test_aux_losses_in_train_step(setup):
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.training.use_contrastive_loss = True
+    cfg2.training.use_itm_loss = True
+    cfg2.training.attention_reg_weight = 1.0
+    trainer = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    batch = next(iter(trainer._train_batches()))
+    trainer.state, metrics = trainer._train_step(
+        trainer.state, batch["image"], batch["caption_tokens"],
+        jax.random.PRNGKey(0))
+    for k in ["contrastive_loss", "itm_loss", "attention_reg_loss"]:
+        assert k in metrics and np.isfinite(float(metrics[k]))
+
+
+def test_state_sharding_over_mesh(setup):
+    cfg, vocab, train_ds, val_ds = setup
+    trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    # params replicated over all 8 devices
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
