@@ -1,0 +1,76 @@
+"""Frozen-BERT word embeddings for the legacy decoder's ``use_bert`` path.
+
+The reference's legacy decoder can replace its learned embedding table with
+frozen BERT embeddings, re-merging wordpieces back to word level
+(reference: models/decoder.py:16-24, 60-118: tokenize ``[CLS] caption``,
+run BERT, and for multi-piece words *sum* the piece embeddings).
+
+TPU-first split: BERT runs **once on the host** (torch CPU, frozen — it
+receives no gradients in the reference either) at data-preparation time; the
+jitted training step consumes the cached word-level embedding arrays. This
+removes the reference's per-batch Python/BERT loop from the hot path
+entirely (reference ran it inside ``forward``, models/decoder.py:134).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+class BertCaptionEmbedder:
+    """Precompute [T, 768] word-level embeddings for captions.
+
+    Requires a locally available BERT (``from_pretrained`` with
+    ``local_files_only=True`` or an explicitly passed model/tokenizer —
+    this environment has no network egress; tests inject tiny random HF
+    models).
+    """
+
+    def __init__(self, model=None, tokenizer=None,
+                 model_name: str = "bert-base-uncased"):
+        if model is None or tokenizer is None:
+            import torch  # noqa: F401
+            from transformers import BertModel, BertTokenizer
+
+            tokenizer = BertTokenizer.from_pretrained(
+                model_name, local_files_only=True)
+            model = BertModel.from_pretrained(model_name,
+                                              local_files_only=True)
+        self.model = model.eval()
+        self.tokenizer = tokenizer
+        self.dim = self.model.config.hidden_size
+
+    def embed_words(self, words: List[str], max_length: int) -> np.ndarray:
+        """Word-level embeddings [max_length, dim]; multi-piece words are
+        summed (reference: models/decoder.py:99-108); positions beyond the
+        caption are zero (pad)."""
+        import torch
+
+        pieces: List[str] = ["[CLS]"]
+        word_spans = []
+        for w in words:
+            wp = self.tokenizer.tokenize(w) or [self.tokenizer.unk_token]
+            word_spans.append((len(pieces), len(pieces) + len(wp)))
+            pieces.extend(wp)
+        ids = self.tokenizer.convert_tokens_to_ids(pieces)
+        with torch.no_grad():
+            hidden = self.model(torch.tensor([ids])).last_hidden_state[0]
+        out = np.zeros((max_length, self.dim), dtype=np.float32)
+        for i, (s, e) in enumerate(word_spans[: max_length]):
+            out[i] = hidden[s:e].sum(dim=0).numpy()
+        return out
+
+    def embed_caption(self, caption: str, max_length: int) -> np.ndarray:
+        from ..data.tokenizer import word_tokenize
+
+        # legacy framing: <start> w1 ... wn <end>; specials get zero vectors
+        words = word_tokenize(caption)
+        out = np.zeros((max_length, self.dim), dtype=np.float32)
+        inner = self.embed_words(words, max_length - 1)
+        out[1:] = inner  # slot 0 = <start> (zero embedding)
+        return out
+
+    def embed_batch(self, captions: List[str], max_length: int) -> np.ndarray:
+        return np.stack([self.embed_caption(c, max_length) for c in captions])

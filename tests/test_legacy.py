@@ -1,0 +1,213 @@
+"""Legacy stack tests: model math (gated attention, adaptive pool), training
+loop behaviors (LR decay schedule, grad clamp, attention reg), validation
+BLEU, demo, preprocessing tools, BERT embedder with a tiny random HF BERT."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_captioning_ml_project_tpu.config import EncoderConfig
+from image_captioning_ml_project_tpu.data.coco import COCOCaptionDataset
+from image_captioning_ml_project_tpu.data.synthetic import make_synthetic_coco
+from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
+from image_captioning_ml_project_tpu.legacy.model import (
+    LegacyDecoder,
+    ShowAttendTell,
+    adaptive_avg_pool_2d,
+)
+from image_captioning_ml_project_tpu.legacy.process_data import (
+    build_vocab,
+    resize_images,
+)
+from image_captioning_ml_project_tpu.legacy.train import (
+    LegacyTrainer,
+    masked_caption_ce,
+)
+from image_captioning_ml_project_tpu.legacy.validate import (
+    strip_specials,
+    validate,
+)
+
+TINY_ENC = EncoderConfig(resnet_embedding_size=8, resnet_hidden_sizes=(8, 16),
+                         resnet_depths=(1, 1))
+
+
+@pytest.fixture(scope="module")
+def coco(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("legacy_coco"))
+    make_synthetic_coco(root, num_images=6, captions_per_image=2,
+                        image_size=48)
+    with open(os.path.join(root, "annotations/captions_train2014.json")) as f:
+        ann = json.load(f)
+    vocab = WordVocab.build([a["caption"] for a in ann["annotations"]],
+                            threshold=1)
+    train = COCOCaptionDataset(root, "annotations/captions_train2014.json",
+                               "train2014", vocab, image_size=32,
+                               max_length=12, is_training=True)
+    val = COCOCaptionDataset(root, "annotations/captions_val2014.json",
+                             "val2014", vocab, image_size=32, max_length=12,
+                             is_training=False)
+    return root, vocab, train, val
+
+
+def test_adaptive_avg_pool():
+    x = jnp.arange(2 * 4 * 4 * 1, dtype=jnp.float32).reshape(2, 4, 4, 1)
+    out = adaptive_avg_pool_2d(x, 2)
+    assert out.shape == (2, 2, 2, 1)
+    # 2x2 blocks averaged
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0, 0]),
+                               np.asarray(x[0, :2, :2, 0]).mean())
+    # upsampling case (4 -> 8) keeps mean
+    up = adaptive_avg_pool_2d(x, 8)
+    assert up.shape == (2, 8, 8, 1)
+    np.testing.assert_allclose(float(up.mean()), float(x.mean()), rtol=1e-6)
+
+
+def test_legacy_decoder_torch_parity(rng):
+    """Independent torch re-derivation of the legacy decode step
+    (reference math: models/decoder.py:148-173)."""
+    import torch
+
+    B, N, V = 2, 9, 17
+    E, A, D, EMB = 32, 16, 16, 8
+    dec = LegacyDecoder(vocab_size=V, encoder_dim=E, attention_dim=A,
+                        decoder_dim=D, embed_dim=EMB, dropout=0.0)
+    enc_out = jnp.asarray(rng.randn(B, N, E).astype(np.float32))
+    caps = jnp.asarray(rng.randint(0, V, (B, 6)))
+    variables = dec.init(jax.random.PRNGKey(0), enc_out, caps)
+    out = dec.apply(variables, enc_out, caps)
+    assert out["predictions"].shape == (B, 5, V)
+    assert out["alphas"].shape == (B, 5, N)
+
+    p = variables["params"]
+
+    def lin(name, x):
+        return x @ torch.tensor(np.asarray(p[name]["kernel"])) + torch.tensor(
+            np.asarray(p[name]["bias"]))
+
+    eo = torch.tensor(np.asarray(enc_out))
+    emb_table = torch.tensor(np.asarray(p["embedding"]["embedding"]))
+    h = lin("h_lin", eo.mean(dim=1))
+    c = lin("c_lin", eo.mean(dim=1))
+    kernel = torch.tensor(np.asarray(p["decode_step"]["gates"]["kernel"]))
+    bias = torch.tensor(np.asarray(p["decode_step"]["gates"]["bias"]))
+
+    caps_t = torch.tensor(np.asarray(caps))
+    preds_all = []
+    for t in range(5):
+        att = lin("att", torch.relu(lin("enc_att", eo) +
+                                    lin("dec_att", h).unsqueeze(1)))[..., 0]
+        alpha = torch.softmax(att, dim=1)
+        ctx = (eo * alpha.unsqueeze(-1)).sum(dim=1)
+        gate = torch.sigmoid(lin("f_beta", h))
+        x = torch.cat([emb_table[caps_t[:, t]], gate * ctx], dim=1)
+        gates = torch.cat([x, h], dim=1) @ kernel + bias
+        i, f, g, o = gates.chunk(4, dim=1)
+        c = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(g)
+        h = torch.sigmoid(o) * torch.tanh(c)
+        preds_all.append(lin("fc", h))
+    want = torch.stack(preds_all, dim=1).numpy()
+    np.testing.assert_allclose(np.asarray(out["predictions"]), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_masked_caption_ce():
+    V = 5
+    preds = jnp.zeros((1, 3, V))
+    caps = jnp.asarray([[1, 2, 3, 0]])  # targets 2,3,pad
+    loss = float(masked_caption_ce(preds, caps, 0))
+    np.testing.assert_allclose(loss, np.log(V), rtol=1e-5)
+
+
+def test_legacy_trainer_runs_and_decays_lr(coco):
+    root, vocab, train_ds, val_ds = coco
+    trainer = LegacyTrainer(vocab, train_ds, val_ds, batch_size=6,
+                            num_epochs=1, decay_every=1,
+                            encoder_config=TINY_ENC,
+                            checkpoint_dir=os.path.join(root, "ckpt"))
+    state = trainer.train()
+    assert int(state.step) == len(train_ds) // 6
+    # per-epoch encoder/decoder checkpoints written (reference: train.py:142-153)
+    assert trainer.ckpt.exists("encoder_epoch_0")
+    assert trainer.ckpt.exists("decoder_epoch_0")
+    assert trainer.ckpt.exists("encoder_epoch_0_mid")
+
+
+def test_legacy_validate_and_demo(coco, tmp_path):
+    root, vocab, train_ds, val_ds = coco
+    trainer = LegacyTrainer(vocab, train_ds, val_ds, batch_size=6,
+                            num_epochs=1, encoder_config=TINY_ENC,
+                            checkpoint_dir=os.path.join(root, "ckpt2"))
+    variables = {"params": trainer.state.params}
+    if jax.tree_util.tree_leaves(trainer.state.batch_stats):
+        variables["batch_stats"] = trainer.state.batch_stats
+
+    metrics = validate(trainer.model, trainer.state, val_ds, vocab,
+                       batch_size=6, max_length=8)
+    for k in ["loss", "Bleu_1", "Bleu_4"]:
+        assert k in metrics and np.isfinite(metrics[k])
+
+    from image_captioning_ml_project_tpu.legacy.demo import generate_captions
+
+    results = generate_captions(
+        trainer.model, variables, vocab,
+        os.path.join(root, "val2014"), image_size=32, max_length=6,
+        save_attention_dir=str(tmp_path / "att"))
+    assert len(results) == 6
+    att_files = os.listdir(tmp_path / "att")
+    assert len(att_files) == 6
+
+
+def test_strip_specials(coco):
+    _, vocab, _, _ = coco
+    ids = [vocab.bos_token_id, 5, 6, vocab.eos_token_id, 7]
+    words = strip_specials(np.asarray(ids), vocab)
+    assert vocab.idx2word[5] in words
+    assert len(words) == 2  # stops at <end>
+
+
+def test_process_data_tools(coco, tmp_path):
+    root, _, _, _ = coco
+    vocab = build_vocab(
+        os.path.join(root, "annotations/captions_train2014.json"), threshold=1)
+    assert len(vocab) > 4
+    n = resize_images(os.path.join(root, "train2014"),
+                      str(tmp_path / "resized"), size=24)
+    assert n == 6
+    from PIL import Image
+
+    im = Image.open(tmp_path / "resized" /
+                    sorted(os.listdir(tmp_path / "resized"))[0])
+    assert im.size == (24, 24)
+
+
+def test_bert_embedder_with_tiny_bert():
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    from image_captioning_ml_project_tpu.legacy.bert_embedder import (
+        BertCaptionEmbedder)
+
+    # tiny random BERT + a real wordpiece tokenizer built from a tiny vocab
+    vocab_tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "man", "rid",
+                    "##ing", "horse"]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        vocab_file = os.path.join(d, "vocab.txt")
+        with open(vocab_file, "w") as f:
+            f.write("\n".join(vocab_tokens))
+        tok = BertTokenizerFast(vocab_file=vocab_file, do_lower_case=True)
+        cfg = BertConfig(vocab_size=len(vocab_tokens), hidden_size=16,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=32, max_position_embeddings=32)
+        model = BertModel(cfg)
+        emb = BertCaptionEmbedder(model=model, tokenizer=tok)
+        out = emb.embed_batch(["a man riding a horse"], max_length=8)
+        assert out.shape == (1, 8, 16)
+        # slot 0 = <start> (zero), slot 1.. = words; "riding" = rid + ##ing sum
+        assert np.allclose(out[0, 0], 0)
+        assert not np.allclose(out[0, 1], 0)
