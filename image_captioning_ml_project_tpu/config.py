@@ -147,6 +147,10 @@ class TrainingConfig:
     rl_start_epoch: int = 10
     rl_reward: str = "cider"  # cider, bleu, meteor, rouge, spice
     rl_weight: float = 1.0
+    # TPU rebuild: compute CIDEr rewards on device so the whole SCST step
+    # (rollout + reward + REINFORCE update) is one jitted program. Only
+    # applies when rl_reward == "cider"; other rewards use host scoring.
+    rl_on_device_reward: bool = True
 
     # bf16 mixed precision replaces the reference's CUDA AMP
     # (reference: src/train/trainer.py:70-71, 227-255).

@@ -68,12 +68,24 @@ class SoftAttention(nn.Module):
 
         q_proj = nn.Dense(h, dtype=self.dtype, name="query_proj")(query)
         k_proj = nn.Dense(h, dtype=self.dtype, name="key_proj")(key)
+        energy = nn.Dense(1, dtype=self.dtype, name="energy")
 
-        # [B, Q, 1, H] + [B, 1, S, H] -> [B, Q, S, H]
-        attn_sum = jnp.tanh(q_proj[:, :, None, :] + k_proj[:, None, :, :])
-        scores = nn.Dense(1, dtype=self.dtype, name="energy")(attn_sum)[..., 0]
-        scores = scores / self.config.temperature
-        scores = _mask_scores(scores, key_padding_mask, 1)
+        if self.config.use_pallas:
+            from ..ops.pallas_attention import fused_additive_scores
+
+            # Materialize energy params via a dummy call on first init.
+            _ = energy(q_proj[:, :1, :])
+            scores = fused_additive_scores(
+                q_proj, k_proj,
+                energy.variables["params"]["kernel"],
+                energy.variables["params"]["bias"],
+                key_padding_mask, self.config.temperature)
+        else:
+            # [B, Q, 1, H] + [B, 1, S, H] -> [B, Q, S, H]
+            attn_sum = jnp.tanh(q_proj[:, :, None, :] + k_proj[:, None, :, :])
+            scores = energy(attn_sum)[..., 0]
+            scores = scores / self.config.temperature
+            scores = _mask_scores(scores, key_padding_mask, 1)
 
         weights = jax.nn.softmax(scores, axis=-1)  # [B, Q, S]
         context = jnp.einsum("bqs,bsd->bqd", weights, value)

@@ -283,6 +283,72 @@ class CaptioningTrainer:
 
         self._rl_update_step = jax.jit(rl_update_step, donate_argnums=(0,))
 
+        def scst_fused_step(state: TrainState, images, ref_tokens, ref_valid,
+                            df, rng, max_length):
+            """Fully-fused SCST: sampled + greedy rollouts, on-device
+            per-sample CIDEr rewards, REINFORCE update — one XLA program
+            (BASELINE.json north star)."""
+            from ..evaluate.cider_device import per_sample_cider_device
+
+            rng = jax.random.fold_in(rng, state.step)
+            roll_rng, _ = jax.random.split(rng)
+            mc = self.config.model
+            specials = (mc.pad_token_id, mc.bos_token_id, mc.eos_token_id)
+            images_n = normalize_images(images)
+            B = images.shape[0]
+
+            variables = self._model_vars(state)
+            cache = self.model.apply(variables, images_n, max_length,
+                                     method=self.model.init_cache)
+
+            def step_fn(s, toks):
+                return self.model.apply(variables, s, toks,
+                                        method=self.model.step)
+
+            sample = sample_decode(step_fn, cache, roll_rng, B,
+                                   mc.bos_token_id, mc.eos_token_id,
+                                   mc.pad_token_id, max_length)
+            greedy = greedy_decode(step_fn, cache, B, mc.bos_token_id,
+                                   max_length)
+
+            sample_r = per_sample_cider_device(
+                sample.tokens, ref_tokens, ref_valid, df, specials)
+            greedy_r = per_sample_cider_device(
+                greedy, ref_tokens, ref_valid, df, specials)
+            advantages = jax.lax.stop_gradient(sample_r - greedy_r)
+
+            pad = mc.pad_token_id
+            sampled = sample.tokens
+
+            def loss_fn(params):
+                mv = self._model_vars(state, params)
+                out = self.model.apply(mv, images_n, sampled, train=False)
+                logits = out["logits"].astype(jnp.float32)
+                logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+                tok = sampled[:, 1:]
+                tok_logp = jnp.take_along_axis(
+                    logp, tok[..., None], axis=-1)[..., 0]
+                mask = (tok != pad).astype(jnp.float32)
+                loss = -(advantages[:, None] * tok_logp * mask).sum() \
+                    / jnp.maximum(mask.sum(), 1.0)
+                return self.config.training.rl_weight * loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            metrics = {"rl_loss": loss, "reward": sample_r.mean(),
+                       "greedy_reward": greedy_r.mean()}
+            return TrainState(params=new_params,
+                              batch_stats=state.batch_stats,
+                              opt_state=new_opt,
+                              step=state.step + 1), metrics
+
+        self._scst_fused_step = jax.jit(scst_fused_step,
+                                        donate_argnums=(0,),
+                                        static_argnums=(6,))
+
     def _model_vars(self, state: TrainState, params=None):
         p = params if params is not None else state.params
         v = {"params": p["model"]}
@@ -360,7 +426,52 @@ class CaptioningTrainer:
             refs.setdefault(ex["image_id"], []).append(ex["caption"])
         return refs
 
+    def _tokenized_refs_by_image_id(self, max_length: int) -> Dict[int, list]:
+        """Token-id reference lists per image (device-CIDEr reward path)."""
+        refs: Dict[int, list] = {}
+        for ex in self.train_dataset.examples:
+            ids, mask = self.tokenizer.encode(ex["caption"], max_length)
+            refs.setdefault(ex["image_id"], []).append(
+                ids[: int(mask.sum())].tolist())
+        return refs
+
     def _train_reinforcement_learning(self, epoch: int, rng):
+        tc = self.config.training
+        if tc.rl_reward.lower() == "cider" and tc.rl_on_device_reward:
+            return self._train_scst_on_device(epoch, rng)
+        return self._train_scst_host_reward(epoch, rng)
+
+    def _train_scst_on_device(self, epoch: int, rng):
+        """Fused SCST epoch: rollouts + CIDEr rewards + update in one jit."""
+        from ..evaluate.cider_device import build_df_table, encode_references
+
+        self.logger.info("Running SCST (on-device CIDEr) for epoch %d",
+                         epoch + 1)
+        mc = self.config.model
+        max_length = self.config.inference.max_length
+        ref_len = self.config.model.decoder.max_length
+        refs_by_id = self._tokenized_refs_by_image_id(ref_len)
+        if not hasattr(self, "_cider_df"):
+            self._cider_df = build_df_table(
+                list(refs_by_id.values()),
+                special_ids=(mc.pad_token_id, mc.bos_token_id,
+                             mc.eos_token_id))
+        meter = MetricLogger()
+        max_refs = 5
+        for i, batch in enumerate(self._train_batches()):
+            rng, step_rng = jax.random.split(rng)
+            refs = [refs_by_id.get(int(iid), [[mc.eos_token_id]])
+                    for iid in np.asarray(batch["image_id"])]
+            ref_tokens, ref_valid = encode_references(refs, max_refs, ref_len)
+            self.state, metrics = self._scst_fused_step(
+                self.state, batch["image"], jnp.asarray(ref_tokens),
+                jnp.asarray(ref_valid), self._cider_df, step_rng, max_length)
+            meter.update(**{k: float(v) for k, v in metrics.items()})
+            if (i + 1) % self.config.log_every == 0:
+                self.logger.info("SCST batch %d: %s", i + 1, meter)
+        return None
+
+    def _train_scst_host_reward(self, epoch: int, rng):
         self.logger.info("Running SCST for epoch %d", epoch + 1)
         max_length = self.config.inference.max_length
         refs_by_id = self._references_by_image_id()

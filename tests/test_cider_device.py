@@ -1,0 +1,106 @@
+"""On-device CIDEr must match the host CIDEr-D implementation when run over
+the same token sequences (ids treated as words on the host side)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_captioning_ml_project_tpu.evaluate.cider_device import (
+    build_df_table,
+    encode_references,
+    per_sample_cider_device,
+)
+from image_captioning_ml_project_tpu.evaluate.metrics import cider_d
+from image_captioning_ml_project_tpu.ops.ngram import (
+    lookup_sorted,
+    ngram_hashes,
+    ngram_hashes_np,
+)
+
+PAD, BOS, EOS = 0, 1, 2
+SPECIALS = (PAD, BOS, EOS)
+
+
+def toks_to_words(toks):
+    return [str(t) for t in toks if t not in SPECIALS]
+
+
+def make_corpus(rng, num_images=6, refs_per=3, vocab=30, max_len=12):
+    refs = []
+    for _ in range(num_images):
+        image_refs = []
+        for _ in range(refs_per):
+            n = rng.randint(3, max_len - 2)
+            seq = [BOS] + rng.randint(3, vocab, n).tolist() + [EOS]
+            image_refs.append(seq)
+        refs.append(image_refs)
+    return refs
+
+
+def test_ngram_hash_device_matches_host(rng):
+    toks = rng.randint(3, 50, 10).astype(np.int32)
+    for n in range(1, 5):
+        host = ngram_hashes_np(toks.astype(np.uint32), n)
+        dev, valid = ngram_hashes(jnp.asarray(toks),
+                                  n, jnp.ones(10, dtype=bool))
+        dev = np.asarray(dev)[np.asarray(valid)]
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_lookup_sorted():
+    table = jnp.asarray(np.array([3, 7, 11], dtype=np.uint32))
+    payload = jnp.asarray(np.array([0.3, 0.7, 1.1], dtype=np.float32))
+    vals = jnp.asarray(np.array([7, 5, 11, 99], dtype=np.uint32))
+    out = np.asarray(lookup_sorted(table, vals, jnp.float32(-1.0), payload))
+    np.testing.assert_allclose(out, [0.7, -1.0, 1.1, -1.0], rtol=1e-6)
+
+
+def test_device_cider_matches_host(rng):
+    refs = make_corpus(rng)
+    B = len(refs)
+    # candidates: one perfect match, others noisy
+    cands = []
+    for i, image_refs in enumerate(refs):
+        if i == 0:
+            cands.append(list(image_refs[0]))
+        else:
+            n = rng.randint(3, 9)
+            cands.append([BOS] + rng.randint(3, 30, n).tolist() + [EOS])
+
+    df = build_df_table(refs, special_ids=SPECIALS)
+    ref_tokens, ref_valid = encode_references(refs, max_refs=3, max_len=14)
+    L = 14
+    cand_arr = np.zeros((B, L), dtype=np.int32)
+    for i, c in enumerate(cands):
+        cand_arr[i, : len(c)] = c[:L]
+
+    device_scores = np.asarray(per_sample_cider_device(
+        jnp.asarray(cand_arr), jnp.asarray(ref_tokens),
+        jnp.asarray(ref_valid), df, special_ids=SPECIALS))
+
+    # host reference computation over the same corpus (ids as words)
+    gen_words = [toks_to_words(c) for c in cands]
+    ref_words = [[toks_to_words(r) for r in image_refs]
+                 for image_refs in refs]
+    _, host_scores = cider_d(gen_words, ref_words)
+
+    np.testing.assert_allclose(device_scores, host_scores, rtol=1e-4,
+                               atol=1e-4)
+    assert device_scores[0] > device_scores[1:].max()  # perfect match wins
+
+
+def test_device_cider_under_jit(rng):
+    refs = make_corpus(rng, num_images=4)
+    df = build_df_table(refs, special_ids=SPECIALS)
+    ref_tokens, ref_valid = encode_references(refs, max_refs=3, max_len=14)
+    cand = jnp.asarray(np.tile(np.array(refs[0][0] + [PAD] * 3,
+                                        dtype=np.int32)[None], (4, 1)))
+
+    f = jax.jit(lambda c: per_sample_cider_device(
+        c, jnp.asarray(ref_tokens), jnp.asarray(ref_valid), df,
+        special_ids=SPECIALS))
+    out = np.asarray(f(cand))
+    assert out.shape == (4,)
+    assert np.isfinite(out).all()
+    assert out[0] > 0
