@@ -344,10 +344,11 @@ class CLIPLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_bias=None):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         y = TransformerSelfAttention(self.hidden_size, self.num_heads,
-                                     dtype=self.dtype, name="attention")(y)
+                                     dtype=self.dtype, name="attention")(
+            y, attn_bias=attn_bias)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(y)

@@ -117,18 +117,26 @@ def test_beam_return_all_sorted(rng):
     assert (np.diff(s) <= 1e-6).all()  # descending
 
 
-def test_diverse_beam_groups_differ(rng):
-    trans = rng.randn(V, V).astype(np.float32)
+def test_diverse_beam_groups_differ():
+    # dedicated RNG: independent of test execution order
+    local = np.random.RandomState(42)
+    trans = local.randn(V, V).astype(np.float32)
+    trans[:, EOS] = -20.0  # keep all hypotheses alive to full length
     step = make_markov_step(trans)
     state = jnp.zeros((1, 1))
     res = beam_search(step, state, 1, 4, BOS, EOS, PAD, 6,
-                      num_beam_groups=2, diversity_penalty=10.0,
+                      num_beam_groups=2, diversity_penalty=100.0,
                       return_all=True)
     toks = np.asarray(res.tokens[0])
-    # With a huge diversity penalty the two groups' first tokens must differ.
-    group0_first = toks[0, 1]
-    group2_first = toks[2, 1]
-    assert group0_first != group2_first
+    # Group 0 picks its top-2 first tokens; group 1's huge penalty forces 2
+    # *different* ones -> >= 3 distinct first tokens across the 4 hypotheses
+    # (return_all sorts across groups, so check the set).
+    assert len(set(toks[:, 1].tolist())) >= 3
+
+    # sanity: standard beam (1 group) from one live beam also yields
+    # distinct first tokens but is allowed to overlap with any group
+    res1 = beam_search(step, state, 1, 4, BOS, EOS, PAD, 6, return_all=True)
+    assert np.asarray(res1.tokens).shape == (1, 4, 6)
 
 
 def test_sample_decode_masks_after_eos(rng):
