@@ -128,10 +128,11 @@ def test_diverse_beam_groups_differ():
                       num_beam_groups=2, diversity_penalty=100.0,
                       return_all=True)
     toks = np.asarray(res.tokens[0])
-    # Group 0 picks its top-2 first tokens; group 1's huge penalty forces 2
-    # *different* ones -> >= 3 distinct first tokens across the 4 hypotheses
-    # (return_all sorts across groups, so check the set).
-    assert len(set(toks[:, 1].tolist())) >= 3
+    # The penalty makes each group's step-1 token selections disjoint, and a
+    # group's lineages keep first tokens within its own selection set — so
+    # the 4 returned hypotheses must span >= 2 distinct first tokens (beams
+    # *within* a group may collapse onto one lineage; across groups cannot).
+    assert len(set(toks[:, 1].tolist())) >= 2
 
     # sanity: standard beam (1 group) from one live beam also yields
     # distinct first tokens but is allowed to overlap with any group
