@@ -135,8 +135,22 @@ class CaptioningTrainer:
         params = {"model": model_params, "loss": loss_params}
         self.tx, self.lr_schedule = create_optimizer(
             self.config.training, self.total_steps, params)
-        opt_state = self.tx.init(params)
 
+        if self.mesh.shape.get(self.config.mesh.model_axis, 1) > 1:
+            # tensor-parallel placement for decoder matmuls; optimizer state
+            # inherits shardings (optax init = zeros_like on sharded params)
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(params, self.mesh)
+            opt_state = jax.jit(self.tx.init)(params)
+            state = TrainState(
+                params=params,
+                batch_stats=replicate(batch_stats, self.mesh),
+                opt_state=opt_state,
+                step=replicate(jnp.zeros((), dtype=jnp.int32), self.mesh))
+            return state
+
+        opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state,
                            step=jnp.zeros((), dtype=jnp.int32))

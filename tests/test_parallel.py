@@ -1,0 +1,90 @@
+"""Parallelism tests on the virtual 8-device mesh: mesh construction, TP
+sharding rules, and dp x tp train-step equivalence with pure DP."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from image_captioning_ml_project_tpu.config import MeshConfig
+from image_captioning_ml_project_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+)
+from image_captioning_ml_project_tpu.parallel.sharding import (
+    infer_param_shardings,
+    shard_params,
+)
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh(MeshConfig())
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = create_mesh(MeshConfig(model_parallel=2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(AssertionError):
+        create_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+
+
+def test_tp_rules_assign_specs():
+    mesh = create_mesh(MeshConfig(model_parallel=2))
+    params = {
+        "block_0": {
+            "attn": {"c_attn": {"kernel": np.zeros((8, 24)),
+                                "bias": np.zeros(24)},
+                     "c_proj": {"kernel": np.zeros((8, 8)),
+                                "bias": np.zeros(8)}},
+            "mlp": {"c_fc": {"kernel": np.zeros((8, 32)),
+                             "bias": np.zeros(32)},
+                    "c_proj": {"kernel": np.zeros((32, 8)),
+                               "bias": np.zeros(8)}},
+            "ln_1": {"scale": np.zeros(8), "bias": np.zeros(8)},
+        },
+        "wte": {"embedding": np.zeros((50, 8))},
+    }
+    sh = infer_param_shardings(params, mesh)
+    assert sh["block_0"]["attn"]["c_attn"]["kernel"].spec == P(None, "model")
+    assert sh["block_0"]["attn"]["c_proj"]["kernel"].spec == P("model", None)
+    assert sh["block_0"]["mlp"]["c_fc"]["kernel"].spec == P(None, "model")
+    assert sh["block_0"]["mlp"]["c_proj"]["kernel"].spec == P("model", None)
+    # replicated leaves
+    assert sh["block_0"]["ln_1"]["scale"].spec == P()
+    assert sh["wte"]["embedding"].spec == P()
+    # attn c_proj bias replicated (output-dim bias after all-reduce)
+    assert sh["block_0"]["attn"]["c_proj"]["bias"].spec == P()
+
+
+def test_tp_skips_non_divisible_dims():
+    mesh = create_mesh(MeshConfig(model_parallel=2))
+    params = {"attn": {"c_attn": {"kernel": np.zeros((8, 9))}}}  # 9 % 2 != 0
+    sh = infer_param_shardings(params, mesh)
+    assert sh["attn"]["c_attn"]["kernel"].spec == P()
+
+
+def test_gpt2_tp_forward_matches_replicated(rng):
+    """GPT-2 forward under 2-way TP must equal the replicated result."""
+    from image_captioning_ml_project_tpu.models.gpt2 import GPT2Backbone
+
+    backbone = GPT2Backbone(vocab_size=64, hidden_dim=16, num_layers=2,
+                            num_heads=2, n_positions=32)
+    ids = jnp.asarray(rng.randint(0, 64, (4, 7)))
+    variables = backbone.init(jax.random.PRNGKey(0), ids)
+
+    logits_ref = backbone.apply(variables, ids)
+
+    mesh = create_mesh(MeshConfig(model_parallel=2))
+    sharded = {"params": shard_params(variables["params"], mesh)}
+    ids_sharded = jax.device_put(ids, batch_sharding(mesh, 2))
+    logits_tp = jax.jit(backbone.apply)(sharded, ids_sharded)
+    np.testing.assert_allclose(np.asarray(logits_tp), np.asarray(logits_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_replicate_covers_all_devices():
+    mesh = create_mesh(MeshConfig())
+    x = replicate({"a": jnp.ones((4, 4))}, mesh)
+    assert len(x["a"].sharding.device_set) == 8
