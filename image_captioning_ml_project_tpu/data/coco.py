@@ -314,9 +314,14 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
 def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
                     drop_last: bool = True,
                     sampler: Optional[Iterator[int]] = None,
-                    seed: int = 0) -> Iterator[Dict[str, Any]]:
+                    seed: int = 0,
+                    pad_last: bool = False) -> Iterator[Dict[str, Any]]:
     """Yield fixed-shape batches. ``sampler`` (e.g. the curriculum sampler)
-    overrides shuffling (reference: src/data/dataset.py:445-462)."""
+    overrides shuffling (reference: src/data/dataset.py:445-462).
+
+    ``pad_last=True`` pads the final short batch by repeating its last
+    sample (static shapes for XLA) and adds a ``batch_valid`` bool mask so
+    eval loops can cover every example without recompilation."""
     if sampler is not None:
         indices = list(sampler)
     else:
@@ -325,9 +330,18 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
             np.random.RandomState(seed).shuffle(indices)
     for start in range(0, len(indices), batch_size):
         chunk = indices[start:start + batch_size]
-        if len(chunk) < batch_size and drop_last:
-            return
-        yield collate([dataset[i] for i in chunk])
+        valid = len(chunk)
+        if valid < batch_size:
+            if pad_last:
+                chunk = chunk + [chunk[-1]] * (batch_size - valid)
+            elif drop_last:
+                return
+        batch = collate([dataset[i] for i in chunk])
+        if pad_last:
+            mask = np.zeros(batch_size, dtype=bool)
+            mask[:valid] = True
+            batch["batch_valid"] = mask
+        yield batch
 
 
 def build_coco_datasets(config, tokenizer):

@@ -211,6 +211,9 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
             if G > 1 and diversity_penalty > 0.0:
                 lp = lp - diversity_penalty * token_counts[:, None, :]
             total = live_g[:, g][:, :, None] + lp  # [B, Kg, V]
+            # One flat top-k over [B, Kg*V]. (A per-beam top-2Kg
+            # pre-reduction is mathematically equivalent but XLA:TPU lowers
+            # the small-k/V-axis top_k far worse — measured 4x slower.)
             flat = total.reshape(B, Kg * V)
             cand_scores, cand_idx = jax.lax.top_k(flat, 2 * Kg)
             cand_beam = cand_idx // V

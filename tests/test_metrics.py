@@ -110,3 +110,38 @@ def test_per_sample_cider_discriminates():
     assert ps.shape == (2,)
     assert ps[0] > 5.0  # perfect match on its own refs
     assert ps[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_evaluate_model_on_coco(tmp_path):
+    """Full-COCO eval path: every image captioned once, results.json written."""
+    import numpy as np
+    from image_captioning_ml_project_tpu.data.synthetic import make_synthetic_coco
+    from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
+    from image_captioning_ml_project_tpu.data.coco import COCOCaptionDataset
+    from image_captioning_ml_project_tpu.evaluate.coco_eval import (
+        evaluate_model_on_coco)
+    import json, os
+
+    root = make_synthetic_coco(str(tmp_path / "coco"), num_images=5,
+                               captions_per_image=2, image_size=32)
+    with open(os.path.join(root, "annotations/captions_val2014.json")) as f:
+        ann = json.load(f)
+    vocab = WordVocab.build([a["caption"] for a in ann["annotations"]],
+                            threshold=1)
+    ds = COCOCaptionDataset(root, "annotations/captions_val2014.json",
+                            "val2014", vocab, image_size=32, max_length=12,
+                            is_training=False)
+
+    def decode_batch_fn(batch):
+        # fake decoder: echo the first reference caption tokens
+        return np.asarray(batch["caption_tokens"])[:, 0, :]
+
+    results_file = str(tmp_path / "results.json")
+    # batch size 2 with 5 images: exercises the padded final batch
+    metrics = evaluate_model_on_coco(decode_batch_fn, ds, vocab,
+                                     batch_size=2, results_file=results_file)
+    results = json.load(open(results_file))
+    assert len(results) == 5  # every image exactly once
+    assert len({r["image_id"] for r in results}) == 5
+    # echoing the reference -> near-perfect BLEU-1
+    assert metrics["Bleu_1"] > 0.95
