@@ -1,0 +1,68 @@
+"""Fast top-k tests: blocked and two-stage variants must produce exactly
+the same values as lax.top_k (indices too, absent ties)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_captioning_ml_project_tpu.ops.topk import (
+    blocked_top_k,
+    fast_top_k,
+    two_stage_top_k,
+)
+
+
+@pytest.mark.parametrize("impl", [blocked_top_k, two_stage_top_k])
+@pytest.mark.parametrize("N", [5000, 8192, 251285])
+def test_matches_lax_top_k(rng, impl, N):
+    x = jnp.asarray(rng.randn(3, N).astype(np.float32))
+    v1, i1 = jax.lax.top_k(x, 10)
+    v2, i2 = impl(x, 10, block=512)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # values at returned indices are self-consistent
+    np.testing.assert_array_equal(
+        np.take_along_axis(np.asarray(x), np.asarray(i2), axis=1),
+        np.asarray(v2))
+
+
+@pytest.mark.parametrize("impl", [blocked_top_k, two_stage_top_k])
+def test_ties_still_exact_values(rng, impl):
+    x = jnp.asarray(np.round(rng.randn(4, 4096), 1).astype(np.float32))
+    v1, _ = jax.lax.top_k(x, 10)
+    v2, i2 = impl(x, 10, block=256)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(
+        np.take_along_axis(np.asarray(x), np.asarray(i2), axis=1),
+        np.asarray(v2))
+
+
+def test_fast_top_k_dispatch(rng):
+    small = jnp.asarray(rng.randn(2, 100).astype(np.float32))
+    v, i = fast_top_k(small, 5)  # small rows -> exact lax path
+    v1, i1 = jax.lax.top_k(small, 5)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v1))
+
+    big = jnp.asarray(rng.randn(2, 50000).astype(np.float32))
+    for method in ["two_stage", "blocked", "exact"]:
+        v, i = fast_top_k(big, 10, method=method)
+        v1, _ = jax.lax.top_k(big, 10)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v1))
+
+
+def test_under_jit_and_scan(rng):
+    x = jnp.asarray(rng.randn(8, 2, 20000).astype(np.float32))
+
+    @jax.jit
+    def f(x):
+        def body(c, row):
+            v, i = two_stage_top_k(row, 4)
+            return c, (v, i)
+
+        _, (vs, _) = jax.lax.scan(body, None, x)
+        return vs
+
+    out = np.asarray(f(x))
+    want = np.asarray(jax.lax.top_k(x.reshape(16, 20000), 4)[0]).reshape(8, 2, 4)
+    np.testing.assert_array_equal(out, want)
