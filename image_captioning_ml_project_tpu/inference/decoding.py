@@ -32,26 +32,46 @@ from ..ops.topk import fast_top_k
 _NEG_INF = -1.0e9
 
 
+def _split_shared(state):
+    """Decode states may carry a ``shared`` subtree of per-*image* arrays
+    (e.g. the GPT-2 prefix KV, identical across beams): beam search must not
+    tile or gather it."""
+    if isinstance(state, dict) and "shared" in state:
+        rest = {k: v for k, v in state.items() if k != "shared"}
+        return rest, state["shared"]
+    return state, None
+
+
+def _merge_shared(state, shared):
+    if shared is None:
+        return state
+    return dict(state, shared=shared)
+
+
 def _tile_state(state, factor: int):
-    """Repeat each batch row ``factor`` times (B -> B*factor), scalars kept."""
+    """Repeat each batch row ``factor`` times (B -> B*factor); scalars and
+    the ``shared`` subtree are kept as-is."""
+    state, shared = _split_shared(state)
 
     def tile(x):
         if x.ndim == 0:
             return x
         return jnp.repeat(x, factor, axis=0)
 
-    return jax.tree_util.tree_map(tile, state)
+    return _merge_shared(jax.tree_util.tree_map(tile, state), shared)
 
 
 def _gather_state(state, flat_indices):
-    """Gather batch rows of every array in the state by flat indices."""
+    """Gather batch rows of every array in the state by flat indices
+    (``shared`` subtree untouched)."""
+    state, shared = _split_shared(state)
 
     def gather(x):
         if x.ndim == 0:
             return x
         return x[flat_indices]
 
-    return jax.tree_util.tree_map(gather, state)
+    return _merge_shared(jax.tree_util.tree_map(gather, state), shared)
 
 
 # ---------------------------------------------------------------------------

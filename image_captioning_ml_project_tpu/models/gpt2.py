@@ -69,21 +69,51 @@ class GPT2Attention(nn.Module):
         B = x.shape[0]
         return self.c_proj(out.reshape(B, T, self.hidden_dim)), (k, v)
 
-    def cached_step(self, x, k_cache, v_cache, pos):
-        """x [B, 1, H]; write K/V at ``pos``, attend over positions <= pos."""
+    def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
+                    prefix_v=None):
+        """x [Bk, 1, H]; write K/V at suffix position ``pos``, attend over
+        the (optional) shared prefix plus suffix positions <= pos.
+
+        ``prefix_k``/``prefix_v`` [B, P, nh, hd] are per-*image* (identical
+        across the Bk = B*K tiled beams), so beam search never tiles or
+        gathers them — they stay out of the per-step reorder traffic."""
         q, k_new, v_new = self._qkv(x)
         k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos, axis=1)
         v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos, axis=1)
         hd = q.shape[-1]
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k_cache,
-                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        scale = 1.0 / (hd ** 0.5)
+        Bk = x.shape[0]
+
+        scores_suf = jnp.einsum("bqnd,bknd->bnqk", q, k_cache,
+                                preferred_element_type=jnp.float32) * scale
         S = k_cache.shape[1]
         valid = jnp.arange(S) <= pos
-        scores = jnp.where(valid[None, None, None, :], scores, _NEG_INF)
-        w = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-        out = jnp.einsum("bnqk,bknd->bqnd", w, v_cache)
-        B = x.shape[0]
-        return self.c_proj(out.reshape(B, 1, self.hidden_dim)), k_cache, v_cache
+        scores_suf = jnp.where(valid[None, None, None, :], scores_suf, _NEG_INF)
+
+        if prefix_k is not None:
+            B = prefix_k.shape[0]
+            K = Bk // B
+            qg = q.reshape(B, K, self.num_heads, hd)
+            scores_pre = jnp.einsum(
+                "bgnd,bpnd->bgnp", qg, prefix_k,
+                preferred_element_type=jnp.float32) * scale
+            P = prefix_k.shape[1]
+            scores_pre = scores_pre.reshape(Bk, self.num_heads, 1, P)
+            scores = jnp.concatenate([scores_pre, scores_suf], axis=-1)
+            w = jax.nn.softmax(scores, axis=-1)
+            w_pre, w_suf = w[..., :P], w[..., P:]
+            out_pre = jnp.einsum(
+                "bgnp,bpnd->bgnd",
+                w_pre.reshape(B, K, self.num_heads, P).astype(prefix_v.dtype),
+                prefix_v).reshape(Bk, 1, self.num_heads, hd)
+            out_suf = jnp.einsum("bnqk,bknd->bqnd",
+                                 w_suf.astype(v_cache.dtype), v_cache)
+            out = out_pre.reshape(Bk, 1, self.num_heads, hd) + out_suf
+        else:
+            w = jax.nn.softmax(scores_suf, axis=-1).astype(v_cache.dtype)
+            out = jnp.einsum("bnqk,bknd->bqnd", w, v_cache)
+        return (self.c_proj(out.reshape(Bk, 1, self.hidden_dim)),
+                k_cache, v_cache)
 
 
 class GPT2MLP(nn.Module):
@@ -114,8 +144,11 @@ class GPT2Block(nn.Module):
         x = x + self.mlp(self.ln_2(x))
         return x, kv
 
-    def cached_step(self, x, k_cache, v_cache, pos):
-        y, k_cache, v_cache = self.attn.cached_step(self.ln_1(x), k_cache, v_cache, pos)
+    def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
+                    prefix_v=None):
+        y, k_cache, v_cache = self.attn.cached_step(
+            self.ln_1(x), k_cache, v_cache, pos,
+            prefix_k=prefix_k, prefix_v=prefix_v)
         x = x + y
         x = x + self.mlp(self.ln_2(x))
         return x, k_cache, v_cache
@@ -232,33 +265,39 @@ class GPT2Decoder(nn.Module):
 
     def init_cache(self, encoder_features: Dict[str, jnp.ndarray],
                    max_length: int) -> Dict[str, Any]:
-        """Prefill per-layer caches with the prefix K/V (positions 0..P-1)."""
+        """Split KV cache: the prefix K/V (positions 0..P-1, identical for
+        all beams of an image) live in the ``shared`` subtree that beam
+        search neither tiles nor gathers; only the generated-suffix caches
+        take part in per-step beam reordering."""
         pooled = encoder_features["pooled_features"]
         B = pooled.shape[0]
-        P = self.prefix_length
         nh = self.config.num_heads
         hd = self.config.hidden_dim // nh
-        total = P + max_length
 
         prefix = self._prefix_embeds(pooled)
         _, kvs = self.backbone.full(prefix)
-        layers = []
-        for (k, v) in kvs:
-            k_cache = jnp.zeros((B, total, nh, hd), dtype=k.dtype)
-            v_cache = jnp.zeros((B, total, nh, hd), dtype=v.dtype)
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, 0, axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, 0, axis=1)
-            layers.append({"k": k_cache, "v": v_cache})
-        return {"layers": layers, "pos": jnp.asarray(P, dtype=jnp.int32)}
+        layers = [
+            {"k": jnp.zeros((B, max_length, nh, hd), dtype=k.dtype),
+             "v": jnp.zeros((B, max_length, nh, hd), dtype=v.dtype)}
+            for (k, v) in kvs
+        ]
+        shared = {"layers": [{"pk": k, "pv": v} for (k, v) in kvs]}
+        # ``pos`` counts within the suffix; absolute position = P + pos.
+        return {"layers": layers, "shared": shared,
+                "pos": jnp.zeros((), dtype=jnp.int32)}
 
     def step(self, state: Dict[str, Any],
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         pos = state["pos"]
+        P = self.prefix_length
         x = self.backbone.wte(tokens)[:, None, :]
-        x = x + self.backbone.wpe(pos[None, None])
+        x = x + self.backbone.wpe((P + pos)[None, None])
         new_layers = []
-        for block, cache in zip(self.backbone.blocks, state["layers"]):
-            x, k_cache, v_cache = block.cached_step(x, cache["k"], cache["v"], pos)
+        for block, cache, pre in zip(self.backbone.blocks, state["layers"],
+                                     state["shared"]["layers"]):
+            x, k_cache, v_cache = block.cached_step(
+                x, cache["k"], cache["v"], pos,
+                prefix_k=pre["pk"], prefix_v=pre["pv"])
             new_layers.append({"k": k_cache, "v": v_cache})
         hidden = self.backbone.ln_f(x)
         logits = self.backbone.logits(hidden[:, 0])

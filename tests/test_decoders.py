@@ -288,7 +288,11 @@ def test_gpt2_cached_step_matches_full(gpt2_setup):
     dec, variables, feats, caps = gpt2_setup
     full = dec.apply(variables, feats, caps)["logits"]
     state = dec.apply(variables, feats, T, method=dec.init_cache)
-    assert int(state["pos"]) == 3  # captions start after the prefix
+    # split-cache convention: pos counts within the generated suffix
+    # (absolute position = prefix_length + pos); prefix KV live in 'shared'
+    assert int(state["pos"]) == 0
+    assert "shared" in state
+    assert state["shared"]["layers"][0]["pk"].shape[1] == 3  # prefix len
     for t in range(T):
         logits, state = dec.apply(variables, state, caps[:, t], method=dec.step)
         np.testing.assert_allclose(_np(logits), _np(full[:, t]), rtol=1e-3, atol=1e-4)
