@@ -70,8 +70,9 @@ def lstm_torch_reference(params, feats, captions, num_layers, hidden_dim):
         return x @ k + b
 
     pooled = torch.tensor(_np(feats["pooled_features"]))
-    h0 = lin("init_h", pooled).reshape(B, num_layers, hidden_dim).transpose(0, 1).contiguous()
-    c0 = lin("init_c", pooled).reshape(B, num_layers, hidden_dim).transpose(0, 1).contiguous()
+    bsz = pooled.shape[0]
+    h0 = lin("init_h", pooled).reshape(bsz, num_layers, hidden_dim).transpose(0, 1).contiguous()
+    c0 = lin("init_c", pooled).reshape(bsz, num_layers, hidden_dim).transpose(0, 1).contiguous()
 
     # soft attention params
     ap = params["attention"]
@@ -86,7 +87,7 @@ def lstm_torch_reference(params, feats, captions, num_layers, hidden_dim):
 
     caps = torch.tensor(_np(captions))
     h, c = h0, c0
-    prev_ctx = torch.zeros(B, hidden_dim)
+    prev_ctx = torch.zeros(bsz, hidden_dim)
     logits_all = []
     with torch.no_grad():
         for t in range(caps.shape[1]):
