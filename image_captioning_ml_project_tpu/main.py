@@ -183,13 +183,17 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
 
     generated, references, image_ids = [], [], []
     it = iterate_batches(val_ds, config.inference.num_candidates,
-                         shuffle=False, drop_last=True)
+                         shuffle=False, drop_last=False, pad_last=True)
     for batch in prefetch(it, mesh=trainer.mesh):
-        tokens = decode_batch(trainer.state, batch["image"])
-        generated.extend(tokenizer.decode(t, skip_special_tokens=True)
-                         for t in np.asarray(tokens))
-        references.extend(batch["captions"])
-        image_ids.extend(int(i) for i in np.asarray(batch["image_id"]))
+        tokens = np.asarray(decode_batch(trainer.state, batch["image"]))
+        valid = batch.get("batch_valid", np.ones(len(tokens), dtype=bool))
+        for i in range(len(tokens)):
+            if not valid[i]:
+                continue
+            generated.append(tokenizer.decode(tokens[i],
+                                              skip_special_tokens=True))
+            references.append(batch["captions"][i])
+            image_ids.append(int(np.asarray(batch["image_id"])[i]))
 
     metrics = calculate_metrics(generated, references, image_ids)
     logger.info("Evaluation Results:")

@@ -408,20 +408,27 @@ class CaptioningTrainer:
                         data_axis=self.config.mesh.data_axis)
 
     def _train_epoch(self, epoch: int, rng) -> float:
+        from ..utils.profiling import StepTimer
+
         tc = self.config.training
         meter = MetricLogger()
+        timer = StepTimer(warmup=1)
         num_batches = 0
         for i, batch in enumerate(self._train_batches()):
-            self.state, metrics = self._train_step(
-                self.state, batch["image"], batch["caption_tokens"], rng)
+            with timer:
+                self.state, metrics = self._train_step(
+                    self.state, batch["image"], batch["caption_tokens"], rng)
             num_batches += 1
             if (i + 1) % self.config.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 meter.update(**{k: v for k, v in host.items()})
+                ts = timer.summary()
                 self.logger.info(
-                    "Epoch %d, Batch %d/%d, Loss: %.4f, LR: %.6f",
+                    "Epoch %d, Batch %d/%d, Loss: %.4f, LR: %.6f, "
+                    "step: %.0f ms (p95 %.0f ms)",
                     epoch + 1, i + 1, self.steps_per_epoch,
-                    host["total_loss"], host["learning_rate"])
+                    host["total_loss"], host["learning_rate"],
+                    1e3 * ts.get("mean_s", 0.0), 1e3 * ts.get("p95_s", 0.0))
             else:
                 meter.update(total_loss=float(metrics["total_loss"]))
 
