@@ -78,8 +78,13 @@ class GPT2Attention(nn.Module):
         across the Bk = B*K tiled beams), so beam search never tiles or
         gathers them — they stay out of the per-step reorder traffic."""
         q, k_new, v_new = self._qkv(x)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos, axis=1)
+        # Write the new entry with a broadcast-select (equivalent to
+        # dynamic_update_slice; measured throughput-neutral — both lower to
+        # a full-buffer pass because the beam gather upstream prevents
+        # in-place aliasing; see docs/performance.md roadmap item 1).
+        at_pos = (jnp.arange(k_cache.shape[1]) == pos)[None, :, None, None]
+        k_cache = jnp.where(at_pos, k_new.astype(k_cache.dtype), k_cache)
+        v_cache = jnp.where(at_pos, v_new.astype(v_cache.dtype), v_cache)
         hd = q.shape[-1]
         scale = 1.0 / (hd ** 0.5)
         Bk = x.shape[0]
