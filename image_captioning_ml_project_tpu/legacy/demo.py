@@ -55,3 +55,60 @@ def generate_captions(model: ShowAttendTell, variables, vocab,
                 save_path=os.path.join(save_attention_dir,
                                        f"{os.path.splitext(name)[0]}_att.png"))
     return results
+
+
+def main(argv=None):
+    """Script entry (reference: demo.py):
+
+    python -m image_captioning_ml_project_tpu.legacy.demo \
+        --vocab vocab.json --image_dir images/ \
+        [--encoder_ckpt ... --decoder_ckpt ...] [--attention_dir out/att]
+    """
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ..data.tokenizer import WordVocab
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.logging import setup_logging
+
+    p = argparse.ArgumentParser(description="Legacy captioning demo")
+    p.add_argument("--vocab", type=str, required=True)
+    p.add_argument("--image_dir", type=str, required=True)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--encoder_ckpt", type=str, default="encoder_epoch_0")
+    p.add_argument("--decoder_ckpt", type=str, default="decoder_epoch_0")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--max_length", type=int, default=20)
+    p.add_argument("--attention_dir", type=str, default=None)
+    args = p.parse_args(argv)
+
+    setup_logging(None)
+    vocab = WordVocab.load(args.vocab)
+    model = ShowAttendTell(vocab_size=len(vocab))
+
+    # Initialize params, then overwrite from checkpoints if provided
+    dummy = jnp.zeros((1, args.image_size, args.image_size, 3))
+    caps = jnp.zeros((1, 4), dtype=jnp.int32)
+    variables = dict(model.init(jax.random.PRNGKey(0), dummy, caps))
+    if args.checkpoint_dir:
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        enc, _, _ = ckpt.restore(args.encoder_ckpt)
+        dec, _, _ = ckpt.restore(args.decoder_ckpt)
+        params = dict(variables["params"])
+        params["encoder"] = enc["params"]
+        params["decoder"] = dec["params"]
+        variables["params"] = params
+        if enc.get("batch_stats"):
+            variables["batch_stats"] = {"encoder": enc["batch_stats"]}
+
+    results = generate_captions(model, variables, vocab, args.image_dir,
+                                image_size=args.image_size,
+                                max_length=args.max_length,
+                                save_attention_dir=args.attention_dir)
+    for name, caption in results.items():
+        print(f"{name}: {caption}")
+
+
+if __name__ == "__main__":
+    main()

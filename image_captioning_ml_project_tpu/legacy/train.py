@@ -186,3 +186,58 @@ class LegacyTrainer:
                         "batch_stats": self.state.batch_stats.get("encoder", {})})
         self.ckpt.save(f"decoder_epoch_{epoch}{suffix}",
                        {"params": params["decoder"]})
+
+
+def main(argv=None):
+    """Script entry (reference: train.py run as a script):
+
+    python -m image_captioning_ml_project_tpu.legacy.train \
+        --data_root data --vocab vocab.json [--use_bert]
+    """
+    import argparse
+
+    from ..data.coco import COCOCaptionDataset
+    from ..data.tokenizer import WordVocab
+    from ..utils.logging import setup_logging
+
+    p = argparse.ArgumentParser(description="Legacy Show-Attend-Tell training")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--vocab", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_epochs", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=4e-4)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--max_length", type=int, default=50)
+    p.add_argument("--use_bert", action="store_true")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints_legacy")
+    args = p.parse_args(argv)
+
+    setup_logging(args.checkpoint_dir)
+    vocab = WordVocab.load(args.vocab)
+    train_ds = COCOCaptionDataset(
+        args.data_root, "annotations/captions_train2014.json", "train2014",
+        vocab, image_size=args.image_size, max_length=args.max_length,
+        is_training=True)
+    val_ds = COCOCaptionDataset(
+        args.data_root, "annotations/captions_val2014.json", "val2014",
+        vocab, image_size=args.image_size, max_length=args.max_length,
+        is_training=False)
+    trainer = LegacyTrainer(
+        vocab, train_ds, val_ds, batch_size=args.batch_size,
+        num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+        use_bert=args.use_bert, checkpoint_dir=args.checkpoint_dir)
+    embedder = None
+    if args.use_bert:
+        from .bert_embedder import BertCaptionEmbedder
+
+        embedder = BertCaptionEmbedder()
+    trainer.train(bert_embedder=embedder)
+
+    from .validate import validate
+
+    validate(trainer.model, trainer.state, val_ds, vocab,
+             batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -228,6 +228,31 @@ def port_swin(sd: Mapping[str, np.ndarray], depths) -> Dict[str, Any]:
     return {"params": params}
 
 
+def resize_token_embeddings(params: Dict[str, Any], new_vocab_size: int,
+                            table_key: str = "wte",
+                            init_std: float = 0.02,
+                            seed: int = 0) -> Dict[str, Any]:
+    """Resize a ported embedding table to a new vocabulary size — HF
+    ``resize_token_embeddings`` semantics (reference use:
+    src/models/decoders.py:515-517): existing rows are kept; new rows are
+    normal(0, init_std); extra rows are truncated. With a tied LM head
+    (our GPT-2) the output head resizes implicitly."""
+    table = np.asarray(params[table_key]["embedding"])
+    old, dim = table.shape
+    if new_vocab_size == old:
+        return params
+    if new_vocab_size < old:
+        new_table = table[:new_vocab_size]
+    else:
+        rng = np.random.RandomState(seed)
+        extra = rng.normal(0.0, init_std,
+                           (new_vocab_size - old, dim)).astype(table.dtype)
+        new_table = np.concatenate([table, extra], axis=0)
+    out = dict(params)
+    out[table_key] = dict(params[table_key], embedding=new_table)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # GPT-2
 # ---------------------------------------------------------------------------

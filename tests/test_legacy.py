@@ -211,3 +211,38 @@ def test_bert_embedder_with_tiny_bert():
         # slot 0 = <start> (zero), slot 1.. = words; "riding" = rid + ##ing sum
         assert np.allclose(out[0, 0], 0)
         assert not np.allclose(out[0, 1], 0)
+
+
+def test_legacy_train_cli(coco, tmp_path):
+    """Module CLI: python -m ...legacy.train (reference train.py script)."""
+    root, vocab, _, _ = coco
+    vocab_path = str(tmp_path / "vocab.json")
+    vocab.save(vocab_path)
+    from image_captioning_ml_project_tpu.legacy.train import main as train_main
+
+    # tiny run: monkeypatch default encoder via env is overkill; full-size
+    # ResNet on 32px synthetic data still runs (just slow-ish on CPU), so
+    # use 1 epoch and rely on the tiny dataset.
+    train_main([
+        "--data_root", root, "--vocab", vocab_path, "--batch_size", "6",
+        "--num_epochs", "1", "--image_size", "32", "--max_length", "12",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    import os
+
+    assert os.path.exists(tmp_path / "ckpt" / "encoder_epoch_0")
+
+
+def test_resize_token_embeddings():
+    import numpy as np
+
+    from image_captioning_ml_project_tpu.models.hf_port import (
+        resize_token_embeddings)
+
+    params = {"wte": {"embedding": np.arange(12, dtype=np.float32).reshape(4, 3)}}
+    up = resize_token_embeddings(params, 6)
+    assert up["wte"]["embedding"].shape == (6, 3)
+    np.testing.assert_array_equal(up["wte"]["embedding"][:4],
+                                  params["wte"]["embedding"])
+    down = resize_token_embeddings(params, 2)
+    assert down["wte"]["embedding"].shape == (2, 3)
