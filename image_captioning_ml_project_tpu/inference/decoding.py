@@ -32,46 +32,53 @@ from ..ops.topk import fast_top_k
 _NEG_INF = -1.0e9
 
 
-def _split_shared(state):
-    """Decode states may carry a ``shared`` subtree of per-*image* arrays
-    (e.g. the GPT-2 prefix KV, identical across beams): beam search must not
-    tile or gather it."""
-    if isinstance(state, dict) and "shared" in state:
-        rest = {k: v for k, v in state.items() if k != "shared"}
-        return rest, state["shared"]
+def _split_keys(state, keys):
+    """Split special top-level subtrees out of a dict state."""
+    if isinstance(state, dict) and any(k in state for k in keys):
+        rest = {k: v for k, v in state.items() if k not in keys}
+        special = {k: state[k] for k in keys if k in state}
+        return rest, special
     return state, None
 
 
-def _merge_shared(state, shared):
-    if shared is None:
+def _merge_keys(state, special):
+    if special is None:
         return state
-    return dict(state, shared=shared)
+    return dict(state, **special)
 
 
 def _tile_state(state, factor: int):
     """Repeat each batch row ``factor`` times (B -> B*factor); scalars and
-    the ``shared`` subtree are kept as-is."""
-    state, shared = _split_shared(state)
+    the ``shared`` subtree (per-image constants) are kept as-is. The
+    ``lazy`` subtree (reorder-free caches) IS tiled — once, here — but is
+    never gathered afterwards."""
+    state, shared = _split_keys(state, ("shared",))
 
     def tile(x):
         if x.ndim == 0:
             return x
         return jnp.repeat(x, factor, axis=0)
 
-    return _merge_shared(jax.tree_util.tree_map(tile, state), shared)
+    return _merge_keys(jax.tree_util.tree_map(tile, state), shared)
 
 
 def _gather_state(state, flat_indices):
-    """Gather batch rows of every array in the state by flat indices
-    (``shared`` subtree untouched)."""
-    state, shared = _split_shared(state)
+    """Gather batch rows of every array in the state by flat indices.
+    ``shared`` (per-image constants) and ``lazy`` (ancestry-indexed caches;
+    the engine reorders only their ``ancestry`` map) are untouched."""
+    state, special = _split_keys(state, ("shared", "lazy"))
 
     def gather(x):
         if x.ndim == 0:
             return x
         return x[flat_indices]
 
-    return _merge_shared(jax.tree_util.tree_map(gather, state), shared)
+    out = jax.tree_util.tree_map(gather, state)
+    if special is not None and "lazy" in special:
+        lazy = dict(special["lazy"])
+        lazy["ancestry"] = lazy["ancestry"][flat_indices]
+        special = dict(special, lazy=lazy)
+    return _merge_keys(out, special)
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +201,13 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
     L = max_length
 
     state = _tile_state(init_state, K)
+    if isinstance(state, dict) and "lazy" in state:
+        # Lazy beam reorder: the decoder's big caches are never permuted;
+        # the engine maintains an ancestry map instead (row holding each
+        # past position's K/V for the hypothesis currently in each slot).
+        anc = jnp.broadcast_to(
+            jnp.arange(B * K, dtype=jnp.int32)[:, None], (B * K, L))
+        state = dict(state, lazy=dict(state["lazy"], ancestry=anc))
 
     sequences = jnp.full((B, K, L), pad_token_id, dtype=jnp.int32)
     sequences = sequences.at[:, :, 0].set(bos_token_id)
@@ -207,6 +221,13 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
 
     def body(carry, t):
         state, sequences, live_scores, fin_seqs, fin_scores = carry
+        if isinstance(state, dict) and "lazy" in state:
+            # position t-1 is being written this step by each slot itself
+            anc = state["lazy"]["ancestry"]
+            anc = jax.lax.dynamic_update_slice_in_dim(
+                anc, jnp.arange(B * K, dtype=jnp.int32)[:, None], t - 1,
+                axis=1)
+            state = dict(state, lazy=dict(state["lazy"], ancestry=anc))
         current = jax.lax.dynamic_index_in_dim(
             sequences, t - 1, axis=2, keepdims=False).reshape(B * K)
         logits, state = step_fn(state, current)

@@ -70,26 +70,34 @@ class GPT2Attention(nn.Module):
         return self.c_proj(out.reshape(B, T, self.hidden_dim)), (k, v)
 
     def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
-                    prefix_v=None):
+                    prefix_v=None, ancestry=None):
         """x [Bk, 1, H]; write K/V at suffix position ``pos``, attend over
         the (optional) shared prefix plus suffix positions <= pos.
 
         ``prefix_k``/``prefix_v`` [B, P, nh, hd] are per-*image* (identical
         across the Bk = B*K tiled beams), so beam search never tiles or
-        gathers them — they stay out of the per-step reorder traffic."""
+        gathers them — they stay out of the per-step reorder traffic.
+
+        ``ancestry`` [Bk, S]: lazy beam reorder — the cache is *never*
+        physically permuted by beam search; instead row ``ancestry[r, τ]``
+        holds position τ's K/V for the hypothesis currently in slot r, and
+        the permutation is applied at read time. The write below targets the
+        un-permuted scan-carried buffer, which XLA can update in place."""
         q, k_new, v_new = self._qkv(x)
-        # Write the new entry with a broadcast-select (equivalent to
-        # dynamic_update_slice; measured throughput-neutral — both lower to
-        # a full-buffer pass because the beam gather upstream prevents
-        # in-place aliasing; see docs/performance.md roadmap item 1).
         at_pos = (jnp.arange(k_cache.shape[1]) == pos)[None, :, None, None]
         k_cache = jnp.where(at_pos, k_new.astype(k_cache.dtype), k_cache)
         v_cache = jnp.where(at_pos, v_new.astype(v_cache.dtype), v_cache)
+        if ancestry is not None:
+            idx = ancestry[:, :, None, None]
+            k_read = jnp.take_along_axis(k_cache, idx, axis=0)
+            v_read = jnp.take_along_axis(v_cache, idx, axis=0)
+        else:
+            k_read, v_read = k_cache, v_cache
         hd = q.shape[-1]
         scale = 1.0 / (hd ** 0.5)
         Bk = x.shape[0]
 
-        scores_suf = jnp.einsum("bqnd,bknd->bnqk", q, k_cache,
+        scores_suf = jnp.einsum("bqnd,bknd->bnqk", q, k_read,
                                 preferred_element_type=jnp.float32) * scale
         S = k_cache.shape[1]
         valid = jnp.arange(S) <= pos
@@ -112,11 +120,11 @@ class GPT2Attention(nn.Module):
                 w_pre.reshape(B, K, self.num_heads, P).astype(prefix_v.dtype),
                 prefix_v).reshape(Bk, 1, self.num_heads, hd)
             out_suf = jnp.einsum("bnqk,bknd->bqnd",
-                                 w_suf.astype(v_cache.dtype), v_cache)
+                                 w_suf.astype(v_read.dtype), v_read)
             out = out_pre.reshape(Bk, 1, self.num_heads, hd) + out_suf
         else:
-            w = jax.nn.softmax(scores_suf, axis=-1).astype(v_cache.dtype)
-            out = jnp.einsum("bnqk,bknd->bqnd", w, v_cache)
+            w = jax.nn.softmax(scores_suf, axis=-1).astype(v_read.dtype)
+            out = jnp.einsum("bnqk,bknd->bqnd", w, v_read)
         return (self.c_proj(out.reshape(Bk, 1, self.hidden_dim)),
                 k_cache, v_cache)
 
@@ -150,10 +158,10 @@ class GPT2Block(nn.Module):
         return x, kv
 
     def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
-                    prefix_v=None):
+                    prefix_v=None, ancestry=None):
         y, k_cache, v_cache = self.attn.cached_step(
             self.ln_1(x), k_cache, v_cache, pos,
-            prefix_k=prefix_k, prefix_v=prefix_v)
+            prefix_k=prefix_k, prefix_v=prefix_v, ancestry=ancestry)
         x = x + y
         x = x + self.mlp(self.ln_2(x))
         return x, k_cache, v_cache
@@ -287,26 +295,32 @@ class GPT2Decoder(nn.Module):
             for (k, v) in kvs
         ]
         shared = {"layers": [{"pk": k, "pv": v} for (k, v) in kvs]}
-        # ``pos`` counts within the suffix; absolute position = P + pos.
-        return {"layers": layers, "shared": shared,
+        # Suffix caches sit under "lazy": beam search leaves them unpermuted
+        # (in-place-updatable scan carries) and reorders only an ancestry
+        # map that this decoder applies at attention-read time. ``pos``
+        # counts within the suffix; absolute position = P + pos.
+        return {"lazy": {"layers": layers}, "shared": shared,
                 "pos": jnp.zeros((), dtype=jnp.int32)}
 
     def step(self, state: Dict[str, Any],
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         pos = state["pos"]
         P = self.prefix_length
+        ancestry = state["lazy"].get("ancestry")  # set by beam search only
         x = self.backbone.wte(tokens)[:, None, :]
         x = x + self.backbone.wpe((P + pos)[None, None])
         new_layers = []
-        for block, cache, pre in zip(self.backbone.blocks, state["layers"],
+        for block, cache, pre in zip(self.backbone.blocks,
+                                     state["lazy"]["layers"],
                                      state["shared"]["layers"]):
             x, k_cache, v_cache = block.cached_step(
                 x, cache["k"], cache["v"], pos,
-                prefix_k=pre["pk"], prefix_v=pre["pv"])
+                prefix_k=pre["pk"], prefix_v=pre["pv"], ancestry=ancestry)
             new_layers.append({"k": k_cache, "v": v_cache})
         hidden = self.backbone.ln_f(x)
         logits = self.backbone.logits(hidden[:, 0])
-        return logits, dict(state, layers=new_layers, pos=pos + 1)
+        new_lazy = dict(state["lazy"], layers=new_layers)
+        return logits, dict(state, lazy=new_lazy, pos=pos + 1)
 
     def generate(self, encoder_features: Dict[str, jnp.ndarray],
                  max_length: int) -> Tuple[jnp.ndarray, Dict[str, Any]]:

@@ -1,0 +1,80 @@
+"""Training-step benchmark: flagship CLIP+GPT-2+AoA CE step throughput.
+
+Prints one JSON line with images/sec for the jitted data-parallel train step
+(forward + combined loss + grads + AdamW) at the reference's best-config
+batch size (32, reference README.md:44). The reference's published training
+speed is 3.2 h/epoch for ~566k caption pairs => ~49 images/sec on V100
+(README.md:44-45, 128).
+
+Usage: python scripts/bench_train.py [batch_size]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from bench import build_flagship
+    from image_captioning_ml_project_tpu.train.trainer import CaptioningTrainer
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    c, _, _ = build_flagship(on_tpu)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (32 if on_tpu else 4)
+    c.training.batch_size = batch
+    c.training.use_amp = True
+    c.model.decoder.max_length = 50
+
+    class _Empty:
+        examples: list = []
+
+        def __len__(self):
+            return 0
+
+    class _Tok:
+        vocab_size = c.model.vocab_size
+        pad_token_id, bos_token_id, eos_token_id = 0, 1, 2
+
+        def __len__(self):
+            return self.vocab_size
+
+        def decode(self, ids, skip_special_tokens=True):
+            return ""
+
+    trainer = CaptioningTrainer(c, _Empty(), _Empty(), _Tok())
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(
+        0, 255, (batch, c.image_size, c.image_size, 3)).astype(np.uint8))
+    caps = jnp.asarray(rng.randint(
+        3, c.model.vocab_size, (batch, c.model.decoder.max_length)
+    ).astype(np.int32))
+
+    key = jax.random.PRNGKey(0)
+    trainer.state, m = trainer._train_step(trainer.state, images, caps, key)
+    float(m["total_loss"])  # force
+
+    iters = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainer.state, m = trainer._train_step(trainer.state, images, caps, key)
+    float(m["total_loss"])
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": f"train_step_images_per_sec_clip_gpt2[{backend}]",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 49.0, 3),  # reference ~49 img/s on V100
+    }))
+
+
+if __name__ == "__main__":
+    main()
