@@ -304,26 +304,82 @@ class TransformerDecoderLayer(nn.Module):
         B = memory.shape[0]
         nh = self.num_heads
         hd = self.hidden_dim // nh
-        mem_k, mem_v = self.cross_attn.project_kv(memory)
         return {
             "k": jnp.zeros((B, max_length, nh, hd), dtype=memory.dtype),
             "v": jnp.zeros((B, max_length, nh, hd), dtype=memory.dtype),
-            "mem_k": mem_k,
-            "mem_v": mem_v,
         }
 
-    def cached_step(self, x, cache, pos, memory_key_padding_mask=None):
-        """x [B, 1, H]; writes K/V at ``pos``; returns (out [B,1,H], cache)."""
-        k_new = self.self_attn._heads(self.self_attn.k_proj(x))
-        v_new = self.self_attn._heads(self.self_attn.v_proj(x))
-        k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, pos, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, pos, axis=1)
-        y = self.self_attn.attend_precomputed(x, k_cache, v_cache,
-                                              pos_limit=pos + 1)
+    def init_memory_cache(self, memory):
+        """Cross-attention K/V: per-*image* constants (beam-invariant) —
+        kept in the decode state's ``shared`` subtree."""
+        mem_k, mem_v = self.cross_attn.project_kv(memory)
+        return {"mem_k": mem_k, "mem_v": mem_v}
+
+    def _cross_attend_shared(self, x, mem_k, mem_v, memory_key_padding_mask):
+        """Cross-attention against per-image memory: x [Bk, 1, H] with
+        mem_k/mem_v [B, S, nh, hd] shared across the Bk = B*K beam tiles."""
+        Bk = x.shape[0]
+        B = mem_k.shape[0]
+        K = Bk // B
+        nh = self.num_heads
+        hd = self.hidden_dim // nh
+        q = self.cross_attn._heads(self.cross_attn.q_proj(x))  # [Bk,1,nh,hd]
+        qg = q.reshape(B, K, nh, hd)
+        scores = jnp.einsum("bgnd,bsnd->bgns", qg, mem_k,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        if memory_key_padding_mask is not None:
+            scores = jnp.where(
+                memory_key_padding_mask[:, None, None, :], _NEG_INF, scores)
+        w = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bgns,bsnd->bgnd", w.astype(mem_v.dtype), mem_v)
+        return self.cross_attn.out_proj(
+            out.reshape(Bk, 1, self.hidden_dim))
+
+    def cached_step(self, x, cache, pos, mem, memory_key_padding_mask=None,
+                    ancestry=None):
+        """x [Bk, 1, H]; self-KV written at ``pos`` *last* (final buffer use
+        in the scan iteration → in-place update), the new entry scored
+        directly; ``ancestry`` applies lazy beam reorder at read time;
+        cross-attention memory comes from the shared subtree ``mem``."""
+        sa = self.self_attn
+        q = sa._heads(sa.q_proj(x))
+        k_new = sa._heads(sa.k_proj(x))
+        v_new = sa._heads(sa.v_proj(x))
+        hd = q.shape[-1]
+        scale = 1.0 / (hd ** 0.5)
+        Bk = x.shape[0]
+
+        k_cache, v_cache = cache["k"], cache["v"]
+        if ancestry is not None:
+            idx = ancestry[:, :, None, None]
+            k_read = jnp.take_along_axis(k_cache, idx, axis=0)
+            v_read = jnp.take_along_axis(v_cache, idx, axis=0)
+        else:
+            k_read, v_read = k_cache, v_cache
+
+        scores_old = jnp.einsum("bqnd,bknd->bnqk", q, k_read,
+                                preferred_element_type=jnp.float32) * scale
+        S = k_cache.shape[1]
+        scores_old = jnp.where((jnp.arange(S) < pos)[None, None, None, :],
+                               scores_old, _NEG_INF)
+        score_self = (q.astype(jnp.float32)
+                      * k_new.astype(jnp.float32)).sum(-1) * scale
+        score_self = score_self.transpose(0, 2, 1)[:, :, :, None]
+        w = jax.nn.softmax(
+            jnp.concatenate([scores_old, score_self], axis=-1), axis=-1)
+        out = jnp.einsum("bnqk,bknd->bqnd",
+                         w[..., :S].astype(v_read.dtype), v_read)
+        out = out + w[..., S].transpose(0, 2, 1)[..., None].astype(
+            v_new.dtype) * v_new
+        y = sa.out_proj(out.reshape(Bk, 1, self.hidden_dim))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos,
+                                                      axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos,
+                                                      axis=1)
+
         x = self.norm1(x + y)
-        y = self.cross_attn.attend_precomputed(
-            x, cache["mem_k"], cache["mem_v"],
-            key_padding_mask=memory_key_padding_mask)
+        y = self._cross_attend_shared(x, mem["mem_k"], mem["mem_v"],
+                                      memory_key_padding_mask)
         x = self.norm2(x + y)
         y = self._ffn(x, True)
         x = self.norm3(x + y)
@@ -388,29 +444,41 @@ class TransformerDecoder(nn.Module):
 
     def init_cache(self, encoder_features: Dict[str, jnp.ndarray],
                    max_length: int) -> Dict[str, Any]:
+        """Self-attention caches live under ``lazy`` (unpermuted scan
+        carries; beam search reorders an ancestry map instead); the
+        cross-attention memory K/V and padding mask are per-image constants
+        under ``shared`` (never tiled/gathered)."""
         memory = self.visual_projection(encoder_features["features"])
         mem_mask = encoder_features.get("attention_mask")
         if mem_mask is None:
             mem_mask = jnp.ones(memory.shape[:2], dtype=jnp.bool_)
-        layer_caches = [l.init_layer_cache(memory, max_length) for l in self.layers]
+        layer_caches = [l.init_layer_cache(memory, max_length)
+                        for l in self.layers]
+        mem_caches = [l.init_memory_cache(memory) for l in self.layers]
         return {
-            "layers": layer_caches,
-            "mem_pad": ~mem_mask.astype(bool),
+            "lazy": {"layers": layer_caches},
+            "shared": {"layers": mem_caches,
+                       "mem_pad": ~mem_mask.astype(bool)},
             "pos": jnp.zeros((), dtype=jnp.int32),
         }
 
     def step(self, state: Dict[str, Any],
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         pos = state["pos"]
+        ancestry = state["lazy"].get("ancestry")  # set by beam search only
         x = self.embedding(tokens)[:, None, :]
         x = x + self.position_encoding(pos[None, None])
         new_caches = []
-        for layer, cache in zip(self.layers, state["layers"]):
-            x, cache = layer.cached_step(x, cache, pos,
-                                         memory_key_padding_mask=state["mem_pad"])
+        for layer, cache, mem in zip(self.layers, state["lazy"]["layers"],
+                                     state["shared"]["layers"]):
+            x, cache = layer.cached_step(
+                x, cache, pos, mem,
+                memory_key_padding_mask=state["shared"]["mem_pad"],
+                ancestry=ancestry)
             new_caches.append(cache)
         logits = self.output_layer(x[:, 0])
-        return logits, dict(state, layers=new_caches, pos=pos + 1)
+        new_lazy = dict(state["lazy"], layers=new_caches)
+        return logits, dict(state, lazy=new_lazy, pos=pos + 1)
 
     def generate(self, encoder_features: Dict[str, jnp.ndarray],
                  max_length: int) -> Tuple[jnp.ndarray, Dict[str, Any]]:

@@ -266,3 +266,49 @@ def test_lazy_ancestry_beam_matches_physical_gather(rng):
     # sanity: beams actually reordered at least once (ancestry non-trivial)
     assert not np.array_equal(np.asarray(lazy.tokens[:, 0]),
                               np.asarray(lazy.tokens[:, 1]))
+
+
+def test_transformer_lazy_beam_matches_physical_gather(rng):
+    """Transformer decoder's lazy-ancestry + shared-memory beam must equal
+    classic physical gathering (same trick as the GPT-2 test)."""
+    from image_captioning_ml_project_tpu.models.decoders import (
+        TransformerDecoder)
+
+    B, S, H, VV, L = 2, 5, 16, 33, 10
+    dcfg = DecoderConfig(decoder_type=DecoderType.TRANSFORMER, hidden_dim=H,
+                         num_layers=2, num_heads=2, dropout=0.0, max_length=L)
+    dec = TransformerDecoder(config=dcfg, vocab_size=VV, pad_token_id=PAD,
+                             bos_token_id=BOS, eos_token_id=EOS)
+    feats = {
+        "features": jnp.asarray(rng.randn(B, S, H).astype(np.float32)),
+        "pooled_features": jnp.asarray(rng.randn(B, H).astype(np.float32)),
+        "attention_mask": jnp.ones((B, S), dtype=bool),
+    }
+    caps = jnp.asarray(rng.randint(3, VV, (B, 4)))
+    variables = dec.init(jax.random.PRNGKey(0), feats, caps)
+
+    def step_fn(s, toks):
+        return dec.apply(variables, s, toks, method=dec.step)
+
+    state = dec.apply(variables, feats, L, method=dec.init_cache)
+    lazy = beam_search(step_fn, state, B, 4, BOS, EOS, PAD, L,
+                       length_penalty=0.8, return_all=True)
+
+    # dense variant: hide "lazy" so the engine gathers physically. "shared"
+    # must still ride along unreplicated — keep it, only rename "lazy".
+    def wrap(s):
+        return {"dense": s["lazy"], "shared": s["shared"], "pos": s["pos"]}
+
+    def unwrap(s):
+        return {"lazy": s["dense"], "shared": s["shared"], "pos": s["pos"]}
+
+    def dense_step(s, toks):
+        logits, out = step_fn(unwrap(s), toks)
+        return logits, wrap(out)
+
+    dense = beam_search(dense_step, wrap(state), B, 4, BOS, EOS, PAD, L,
+                        length_penalty=0.8, return_all=True)
+    np.testing.assert_array_equal(np.asarray(lazy.tokens),
+                                  np.asarray(dense.tokens))
+    np.testing.assert_allclose(np.asarray(lazy.scores),
+                               np.asarray(dense.scores), rtol=1e-5, atol=1e-6)
