@@ -64,9 +64,11 @@ def _tile_state(state, factor: int):
 
 def _gather_state(state, flat_indices):
     """Gather batch rows of every array in the state by flat indices.
-    ``shared`` (per-image constants) and ``lazy`` (ancestry-indexed caches;
-    the engine reorders only their ``ancestry`` map) are untouched."""
-    state, special = _split_keys(state, ("shared", "lazy"))
+    Skipped subtrees: ``shared`` (per-image constants, untiled), ``static``
+    (tiled once but beam-permutation-invariant, e.g. per-beam copies of
+    image features), and ``lazy`` (ancestry-indexed caches; the engine
+    reorders only their ``ancestry`` map)."""
+    state, special = _split_keys(state, ("shared", "lazy", "static"))
 
     def gather(x):
         if x.ndim == 0:

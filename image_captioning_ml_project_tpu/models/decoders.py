@@ -168,6 +168,9 @@ class LSTMDecoder(nn.Module):
 
     def init_cache(self, encoder_features: Dict[str, jnp.ndarray],
                    max_length: int) -> Dict[str, jnp.ndarray]:
+        """LSTM carries (h/c/context) follow the beam; the image features
+        and their mask are beam-permutation-invariant, so they sit under
+        ``static`` (tiled once by beam search, never gathered per step)."""
         features = encoder_features["features"]
         attention_mask = encoder_features.get("attention_mask")
         if attention_mask is None:
@@ -178,8 +181,10 @@ class LSTMDecoder(nn.Module):
             "h": h,
             "c": c,
             "prev_context": jnp.zeros((B, self.config.hidden_dim), dtype=features.dtype),
-            "features": features,
-            "attention_mask": attention_mask.astype(jnp.bool_),
+            "static": {
+                "features": features,
+                "attention_mask": attention_mask.astype(jnp.bool_),
+            },
         }
 
     def step(self, state: Dict[str, jnp.ndarray],
@@ -187,7 +192,7 @@ class LSTMDecoder(nn.Module):
         emb = self.embedding(tokens)
         h, c, context, _ = self._step_core(
             state["h"], state["c"], state["prev_context"], emb,
-            state["features"], ~state["attention_mask"])
+            state["static"]["features"], ~state["static"]["attention_mask"])
         logits = self.output_layer(context)
         new_state = dict(state, h=h, c=c, prev_context=context)
         return logits, new_state
