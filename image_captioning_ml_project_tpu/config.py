@@ -240,6 +240,9 @@ class Config:
     val_json: str = "annotations/captions_val2014.json"
     train_image_dir: str = "train2014"
     val_image_dir: str = "val2014"
+    # Pre-extracted detector features (object-region encoder / BUTD path;
+    # reference dataset: src/data/dataset.py:180-387)
+    features_dir: str = "features"
 
     image_size: int = 224
 

@@ -368,3 +368,30 @@ def build_coco_datasets(config, tokenizer):
         seed=config.seed,
     )
     return train, val
+
+
+def build_object_datasets(config, tokenizer):
+    """Train/val pair over pre-extracted detector features (BUTD path;
+    reference: src/data/dataset.py:180-387)."""
+    import os as _os
+
+    feats = _os.path.join(config.data_root, config.features_dir)
+    train = ObjectDetectionFeaturesDataset(
+        features_dir=feats,
+        annotation_file=_os.path.join(config.data_root, config.train_json),
+        tokenizer=tokenizer,
+        max_objects=config.model.encoder.max_objects,
+        max_length=config.model.decoder.max_length,
+        is_training=True,
+        feature_dim=config.model.encoder.region_feature_dim,
+    )
+    val = ObjectDetectionFeaturesDataset(
+        features_dir=feats,
+        annotation_file=_os.path.join(config.data_root, config.val_json),
+        tokenizer=tokenizer,
+        max_objects=config.model.encoder.max_objects,
+        max_length=config.model.decoder.max_length,
+        is_training=False,
+        feature_dim=config.model.encoder.region_feature_dim,
+    )
+    return train, val

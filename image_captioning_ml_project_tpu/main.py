@@ -29,7 +29,8 @@ from .config import (
     load_config,
     save_config,
 )
-from .data.coco import build_coco_datasets, load_image, normalize_images
+from .data.coco import (build_coco_datasets, build_object_datasets,
+                        load_image, normalize_images)
 from .data.tokenizer import HFTokenizerAdapter, WordVocab
 from .train.curriculum import create_curriculum_sampler
 from .train.trainer import CaptioningTrainer
@@ -136,7 +137,13 @@ def train(config: Config, checkpoint_path=None, tokenizer=None):
     logger = logging.getLogger(__name__)
     logger.info("Starting training...")
     tokenizer = tokenizer or setup_tokenizer(config)
-    train_ds, val_ds = build_coco_datasets(config, tokenizer)
+    from .config import EncoderType
+
+    if (config.model.encoder.encoder_type == EncoderType.OBJECT_REGION
+            or config.model.encoder.use_object_features):
+        train_ds, val_ds = build_object_datasets(config, tokenizer)
+    else:
+        train_ds, val_ds = build_coco_datasets(config, tokenizer)
     sampler = create_curriculum_sampler(train_ds, config)
     trainer = CaptioningTrainer(config, train_ds, val_ds, tokenizer,
                                 curriculum_sampler=sampler)

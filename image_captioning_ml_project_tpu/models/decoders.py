@@ -246,22 +246,15 @@ class CachedMHA(nn.Module):
         """Precompute cross-attention K/V: [B, S, nh, hd] each."""
         return self._heads(self.k_proj(kv_input)), self._heads(self.v_proj(kv_input))
 
-    def attend_precomputed(self, q_input, k, v, key_padding_mask=None,
-                           pos_limit=None):
-        """q_input [B, T, H] against precomputed k/v [B, S, nh, hd].
-
-        ``pos_limit``: if given (scalar), positions >= pos_limit are masked
-        (used for cached causal self-attention at decode)."""
+    def attend_precomputed(self, q_input, k, v, key_padding_mask=None):
+        """q_input [B, T, H] against precomputed k/v [B, S, nh, hd]
+        (cross-attention over a fixed memory)."""
         q = self._heads(self.q_proj(q_input))
         hd = q.shape[-1]
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
                             preferred_element_type=jnp.float32) / (hd ** 0.5)
         if key_padding_mask is not None:
             scores = jnp.where(key_padding_mask[:, None, None, :], _NEG_INF, scores)
-        if pos_limit is not None:
-            S = k.shape[1]
-            idx = jnp.arange(S)
-            scores = jnp.where((idx >= pos_limit)[None, None, None, :], _NEG_INF, scores)
         w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bnqk,bknd->bqnd", w, v)
         B, T = q_input.shape[:2]

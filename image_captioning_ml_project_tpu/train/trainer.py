@@ -103,6 +103,15 @@ class CaptioningTrainer:
         self.best_val_score = 0.0
         self.start_epoch = 0
 
+        # Object-region (BUTD) mode: the model consumes pre-extracted
+        # detector features instead of images (reference encoder:
+        # src/models/encoders.py:233-296).
+        from ..config import EncoderType
+
+        self._object_mode = (
+            config.model.encoder.encoder_type == EncoderType.OBJECT_REGION
+            or config.model.encoder.use_object_features)
+
         self.state = self._init_state(jax.random.PRNGKey(config.seed))
         self._build_steps()
 
@@ -113,14 +122,38 @@ class CaptioningTrainer:
     def _dummy_batch(self):
         c = self.config
         B = 2
-        images = jnp.zeros((B, c.image_size, c.image_size, 3), dtype=jnp.uint8)
         caps = jnp.zeros((B, c.model.decoder.max_length), dtype=jnp.int32)
-        return images, caps
+        if self._object_mode:
+            e = c.model.encoder
+            inputs = {
+                "region_features": jnp.zeros(
+                    (B, e.max_objects, e.region_feature_dim)),
+                "region_boxes": jnp.zeros((B, e.max_objects, 4)),
+                "region_mask": jnp.ones((B, e.max_objects), dtype=jnp.bool_),
+            }
+        else:
+            inputs = jnp.zeros((B, c.image_size, c.image_size, 3),
+                               dtype=jnp.uint8)
+        return inputs, caps
+
+    def _prepare_inputs(self, inputs):
+        """Traced: uint8 images -> normalized floats; region dicts pass
+        through (already float features)."""
+        if isinstance(inputs, dict):
+            return inputs
+        return normalize_images(inputs)
+
+    def _batch_inputs(self, batch):
+        """Host: select the model-input arrays from a data batch."""
+        if self._object_mode:
+            return {k: batch[k] for k in
+                    ("region_features", "region_boxes", "region_mask")}
+        return batch["image"]
 
     def _init_state(self, rng) -> TrainState:
-        images, caps = self._dummy_batch()
+        inputs, caps = self._dummy_batch()
         m_rng, l_rng, itm_rng = jax.random.split(rng, 3)
-        variables = self.model.init(m_rng, normalize_images(images), caps)
+        variables = self.model.init(m_rng, self._prepare_inputs(inputs), caps)
         model_params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
@@ -191,7 +224,7 @@ class CaptioningTrainer:
     def _build_steps(self):
         def train_step(state: TrainState, images, captions, rng):
             rng = jax.random.fold_in(rng, state.step)
-            images = normalize_images(images)
+            images = self._prepare_inputs(images)
 
             def loss_fn(params):
                 losses, new_bs = self._forward_loss(
@@ -215,7 +248,7 @@ class CaptioningTrainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
         def eval_loss_step(state: TrainState, images, captions):
-            images = normalize_images(images)
+            images = self._prepare_inputs(images)
             losses, _ = self._forward_loss(
                 state.params, state.batch_stats, images, captions,
                 jax.random.PRNGKey(0), False)
@@ -224,9 +257,9 @@ class CaptioningTrainer:
         self._eval_loss_step = jax.jit(eval_loss_step)
 
         def generate_step(state: TrainState, images, max_length):
-            images = normalize_images(images)
+            images = self._prepare_inputs(images)
             variables = self._model_vars(state)
-            B = images.shape[0]
+            B = jax.tree_util.tree_leaves(images)[0].shape[0]
             cache = self.model.apply(variables, images, max_length,
                                      method=self.model.init_cache)
 
@@ -242,9 +275,9 @@ class CaptioningTrainer:
         def rollout_step(state: TrainState, images, rng, max_length):
             """SCST rollouts: one sampled + one greedy decode, shared
             encoder pass (reference: src/train/trainer.py:349-356)."""
-            images = normalize_images(images)
+            images = self._prepare_inputs(images)
             variables = self._model_vars(state)
-            B = images.shape[0]
+            B = jax.tree_util.tree_leaves(images)[0].shape[0]
             cache = self.model.apply(variables, images, max_length,
                                      method=self.model.init_cache)
 
@@ -267,7 +300,7 @@ class CaptioningTrainer:
             """REINFORCE: loss = -mean(adv * logp(sampled))
             (reference: src/train/trainer.py:371-378), with token masking."""
             rng = jax.random.fold_in(rng, state.step)
-            images = normalize_images(images)
+            images = self._prepare_inputs(images)
             pad = self.config.model.pad_token_id
 
             def loss_fn(params):
@@ -308,8 +341,8 @@ class CaptioningTrainer:
             roll_rng, _ = jax.random.split(rng)
             mc = self.config.model
             specials = (mc.pad_token_id, mc.bos_token_id, mc.eos_token_id)
-            images_n = normalize_images(images)
-            B = images.shape[0]
+            images_n = self._prepare_inputs(images)
+            B = jax.tree_util.tree_leaves(images_n)[0].shape[0]
 
             variables = self._model_vars(state)
             cache = self.model.apply(variables, images_n, max_length,
@@ -485,8 +518,9 @@ class CaptioningTrainer:
                     for iid in np.asarray(batch["image_id"])]
             ref_tokens, ref_valid = encode_references(refs, max_refs, ref_len)
             self.state, metrics = self._scst_fused_step(
-                self.state, batch["image"], jnp.asarray(ref_tokens),
-                jnp.asarray(ref_valid), self._cider_df, step_rng, max_length)
+                self.state, self._batch_inputs(batch),
+                jnp.asarray(ref_tokens), jnp.asarray(ref_valid),
+                self._cider_df, step_rng, max_length)
             meter.update(**{k: float(v) for k, v in metrics.items()})
             if (i + 1) % self.config.log_every == 0:
                 self.logger.info("SCST batch %d: %s", i + 1, meter)
@@ -500,7 +534,7 @@ class CaptioningTrainer:
         for i, batch in enumerate(self._train_batches()):
             rng, roll_rng = jax.random.split(rng)
             sampled, mask, greedy = self._rollout_step(
-                self.state, batch["image"], roll_rng, max_length)
+                self.state, self._batch_inputs(batch), roll_rng, max_length)
             sample_texts = [self.tokenizer.decode(t, skip_special_tokens=True)
                             for t in np.asarray(sampled)]
             greedy_texts = [self.tokenizer.decode(t, skip_special_tokens=True)
@@ -511,7 +545,8 @@ class CaptioningTrainer:
             greedy_r = self._rewards(greedy_texts, gt)
             advantages = jnp.asarray(sample_r - greedy_r, dtype=jnp.float32)
             self.state, metrics = self._rl_update_step(
-                self.state, batch["image"], sampled, advantages, rng)
+                self.state, self._batch_inputs(batch), sampled, advantages,
+                rng)
             meter.update(rl_loss=float(metrics["rl_loss"]),
                          reward=float(sample_r.mean()))
             if (i + 1) % self.config.log_every == 0:
@@ -555,10 +590,10 @@ class CaptioningTrainer:
         for batch in prefetch(it, mesh=self.mesh,
                               data_axis=self.config.mesh.data_axis):
             first_ref = batch["caption_tokens"][:, 0, :]
+            inputs = self._batch_inputs(batch)
             losses.append(float(self._eval_loss_step(
-                self.state, batch["image"], first_ref)))
-            tokens = self._generate_step(self.state, batch["image"],
-                                         max_length)
+                self.state, inputs, first_ref)))
+            tokens = self._generate_step(self.state, inputs, max_length)
             texts = [self.tokenizer.decode(t, skip_special_tokens=True)
                      for t in np.asarray(tokens)]
             generated.extend(texts)

@@ -162,3 +162,64 @@ def test_state_sharding_over_mesh(setup):
     # params replicated over all 8 devices
     leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_object_region_trainer(tmp_path):
+    """End-to-end BUTD path: ObjectDetectionFeaturesDataset -> object-region
+    encoder -> trainer CE step + validation."""
+    import copy
+
+    from image_captioning_ml_project_tpu.data.coco import build_object_datasets
+    from image_captioning_ml_project_tpu.data.synthetic import (
+        make_synthetic_coco,
+        make_synthetic_object_features,
+    )
+
+    root = str(tmp_path / "coco")
+    make_synthetic_coco(root, num_images=8, captions_per_image=2, image_size=24)
+    for split in ["train", "val"]:
+        make_synthetic_object_features(
+            os.path.join(root, "features"),
+            os.path.join(root, f"annotations/captions_{split}2014.json"),
+            max_objects=6, feature_dim=32)
+
+    with open(os.path.join(root, "annotations/captions_train2014.json")) as f:
+        ann = json.load(f)
+    vocab = WordVocab.build([a["caption"] for a in ann["annotations"]],
+                            threshold=1)
+
+    cfg = get_default_config()
+    cfg.data_root = root
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.model.encoder.encoder_type = EncoderType.OBJECT_REGION
+    cfg.model.encoder.feature_dim = 16
+    cfg.model.encoder.max_objects = 6
+    cfg.model.encoder.region_feature_dim = 32
+    cfg.model.decoder.decoder_type = DecoderType.LSTM
+    cfg.model.decoder.hidden_dim = 16
+    cfg.model.decoder.num_layers = 1
+    cfg.model.decoder.max_length = 12
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.attention.attention_type = AttentionType.SOFT
+    cfg.model.attention.hidden_dim = 16
+    cfg.model.projection_dim = 16
+    cfg.model.vocab_size = vocab.vocab_size
+    cfg.training.batch_size = 8
+    cfg.training.num_epochs = 1
+    cfg.training.use_rl = False
+    cfg.training.use_amp = False
+    cfg.inference.max_length = 6
+    cfg.inference.num_candidates = 8
+
+    train_ds, val_ds = build_object_datasets(cfg, vocab)
+    assert len(train_ds) == 16 and len(val_ds) == 8
+    trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    batch = next(iter(trainer._train_batches()))
+    assert "region_features" in batch
+    trainer.state, metrics = trainer._train_step(
+        trainer.state, trainer._batch_inputs(batch),
+        batch["caption_tokens"], jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    val_loss, val_metrics = trainer._validate_epoch(0)
+    assert np.isfinite(val_loss) and "CIDEr" in val_metrics
