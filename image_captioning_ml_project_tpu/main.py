@@ -165,7 +165,11 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
 
     logger = logging.getLogger(__name__)
     tokenizer = tokenizer or setup_tokenizer(config)
-    _, val_ds = build_coco_datasets(config, tokenizer)
+    if (config.model.encoder.encoder_type == EncoderType.OBJECT_REGION
+            or config.model.encoder.use_object_features):
+        _, val_ds = build_object_datasets(config, tokenizer)
+    else:
+        _, val_ds = build_coco_datasets(config, tokenizer)
     trainer = CaptioningTrainer(config, val_ds, val_ds, tokenizer)
     if checkpoint_path:
         trainer.load_checkpoint(checkpoint_path)
@@ -174,11 +178,11 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
     max_length = config.inference.max_length
 
     @jax.jit
-    def decode_batch(state, images):
-        images = normalize_images(images)
+    def decode_batch(state, inputs):
+        inputs = trainer._prepare_inputs(inputs)
         variables = trainer._model_vars(state)
-        B = images.shape[0]
-        cache = trainer.model.apply(variables, images, max_length,
+        B = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+        cache = trainer.model.apply(variables, inputs, max_length,
                                     method=trainer.model.init_cache)
 
         def step_fn(s, toks):
@@ -192,7 +196,8 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
     it = iterate_batches(val_ds, config.inference.num_candidates,
                          shuffle=False, drop_last=False, pad_last=True)
     for batch in prefetch(it, mesh=trainer.mesh):
-        tokens = np.asarray(decode_batch(trainer.state, batch["image"]))
+        tokens = np.asarray(decode_batch(trainer.state,
+                                         trainer._batch_inputs(batch)))
         valid = batch.get("batch_valid", np.ones(len(tokens), dtype=bool))
         for i in range(len(tokens)):
             if not valid[i]:
