@@ -35,8 +35,11 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+# GPT-2's pre-tokenizer uses \p{L}/\p{N}; stdlib `re` equivalents:
+# [^\W\d_] = unicode letters, \d = unicode digits, (?:[^\s\w]|_) = the rest.
 _PAT = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?(?:[^\W\d_])+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+")
 
 
 def _get_pairs(word: Tuple[str, ...]):
@@ -126,9 +129,11 @@ class GPT2BPETokenizer:
         return ids
 
     def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
-        """HF-compatible framing: raw BPE ids (no bos/eos added — GPT-2
-        style), padded with eos (= pad) to max_length."""
-        ids = self.tokenize_ids(text)[:max_length]
+        """BPE ids + a trailing <|endoftext|>, padded with eos (= pad) to
+        max_length. The explicit EOS (covered by the attention mask) is what
+        lets the loss supervise sequence termination even though GPT-2's pad
+        and eos ids coincide — masking by pad id alone would strip it."""
+        ids = self.tokenize_ids(text)[: max_length - 1] + [self.eos_token_id]
         out = np.full(max_length, self.pad_token_id, dtype=np.int32)
         mask = np.zeros(max_length, dtype=np.int32)
         out[: len(ids)] = ids

@@ -161,10 +161,16 @@ class HFTokenizerAdapter:
         return self.hf.eos_token_id
 
     def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
-        enc = self.hf(text, padding="max_length", truncation=True,
-                      max_length=max_length)
-        return (np.asarray(enc["input_ids"], dtype=np.int32),
-                np.asarray(enc["attention_mask"], dtype=np.int32))
+        """Token ids + a trailing EOS (covered by the attention mask). GPT-2
+        style tokenizers use pad==eos, so the mask — not the pad id — is what
+        marks the supervised positions incl. sequence termination."""
+        enc = self.hf(text, truncation=True, max_length=max_length - 1)
+        ids = list(enc["input_ids"]) + [int(self.eos_token_id)]
+        out = np.full(max_length, int(self.pad_token_id), dtype=np.int32)
+        mask = np.zeros(max_length, dtype=np.int32)
+        out[: len(ids)] = ids
+        mask[: len(ids)] = 1
+        return out, mask
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
         return self.hf.decode([int(i) for i in ids],

@@ -47,7 +47,7 @@ def _mask_scores(scores: jnp.ndarray, key_padding_mask: Optional[jnp.ndarray],
         return scores
     mask = key_padding_mask
     while mask.ndim < scores.ndim:
-        mask = mask[:, None, ...] if False else jnp.expand_dims(mask, 1)
+        mask = jnp.expand_dims(mask, 1)
     return jnp.where(mask, _NEG_INF, scores)
 
 

@@ -245,9 +245,9 @@ class GPT2Decoder(nn.Module):
             num_layers=cfg.num_layers, num_heads=cfg.num_heads,
             n_positions=cfg.gpt2_n_positions, dtype=self.dtype)
         self.prefix_length = cfg.prefix_length
-        in_dim = self.feature_dim or h
-        # reference: src/models/decoders.py:539-552
-        self.visual_projection = nn.Dense(h, dtype=self.dtype)
+        # reference: src/models/decoders.py:544-552 (the reference also
+        # defines a visual_projection at :539-541 but never uses it; it is
+        # intentionally omitted here — see docs/parity.md)
         self.image_to_prefix = nn.Dense(self.prefix_length * h, dtype=self.dtype)
         self.image_prefix = self.param(
             "image_prefix", nn.initializers.normal(stddev=1.0),

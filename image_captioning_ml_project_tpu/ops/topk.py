@@ -80,6 +80,8 @@ def two_stage_top_k(x: jnp.ndarray, k: int, block: int = 512
     ``[B, k*block]``."""
     B, N = x.shape
     nblk = -(-N // block)
+    if nblk < k:  # fewer blocks than k (small rows): plain top_k is exact
+        return jax.lax.top_k(x, k)
     pad = nblk * block - N
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=_NEG_INF)

@@ -24,12 +24,22 @@ from flax import linen as nn
 
 
 def shifted_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
-                          pad_token_id: int) -> jnp.ndarray:
-    """Language-modeling CE: predict targets[t+1] from logits[t], ignoring
-    pad positions (reference: src/train/losses.py:235-243)."""
+                          pad_token_id: int,
+                          target_mask: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
+    """Language-modeling CE: predict targets[t+1] from logits[t]
+    (reference: src/train/losses.py:235-243).
+
+    ``target_mask`` [B, T] (1 = supervised token, e.g. the tokenizer's
+    attention mask) takes precedence over pad-id masking — required for
+    GPT-2 style tokenizers where pad == eos, so the terminating EOS stays a
+    training target instead of being stripped with the padding."""
     shift_logits = logits[:, :-1]
     shift_targets = targets[:, 1:]
-    mask = (shift_targets != pad_token_id).astype(jnp.float32)
+    if target_mask is not None:
+        mask = target_mask[:, 1:].astype(jnp.float32)
+    else:
+        mask = (shift_targets != pad_token_id).astype(jnp.float32)
     logp = jax.nn.log_softmax(shift_logits, axis=-1)
     nll = -jnp.take_along_axis(logp, shift_targets[..., None], axis=-1)[..., 0]
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
@@ -76,30 +86,6 @@ class ITMHead(nn.Module):
         return nn.Dense(2, dtype=self.dtype)(x)
 
 
-def itm_loss(head: ITMHead, head_variables, image_features, text_features,
-             rng: jax.Array, negative_ratio: float = 0.5,
-             deterministic: bool = True) -> jnp.ndarray:
-    """ITM loss with rolled negative sampling
-    (reference: src/train/losses.py:110-166): positives are aligned pairs;
-    negatives pair a random subset of images with *rolled* shuffled texts."""
-    B = image_features.shape[0]
-    num_neg = int(B * negative_ratio)
-    perm_rng, drop_rng = jax.random.split(rng)
-    neg_idx = jax.random.permutation(perm_rng, B)[:num_neg]
-    neg_txt_idx = jnp.roll(neg_idx, 1)
-
-    all_img = jnp.concatenate([image_features, image_features[neg_idx]], axis=0)
-    all_txt = jnp.concatenate([text_features, text_features[neg_txt_idx]], axis=0)
-    labels = jnp.concatenate(
-        [jnp.ones(B, dtype=jnp.int32), jnp.zeros(num_neg, dtype=jnp.int32)])
-
-    logits = head.apply(head_variables, all_img, all_txt,
-                        deterministic=deterministic,
-                        rngs={"dropout": drop_rng} if not deterministic else {})
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
-
-
 class CombinedLoss(nn.Module):
     """CE + weighted contrastive + weighted ITM (+ attention regularization)
     as one module so the ITM head's parameters live in the train state
@@ -120,13 +106,25 @@ class CombinedLoss(nn.Module):
     def setup(self):
         if self.use_itm:
             self.itm_head = ITMHead(self.hidden_dim, dtype=self.dtype)
+        if self.use_contrastive or self.use_itm:
+            # project (possibly differently sized) image/text features to a
+            # common embedding dim — encoder feature_dim and decoder
+            # hidden_dim are independent config knobs
+            self.image_feat_proj = nn.Dense(self.hidden_dim, dtype=self.dtype)
+            self.text_feat_proj = nn.Dense(self.hidden_dim, dtype=self.dtype)
 
     def __call__(self, logits, targets, image_features=None,
                  text_features=None, attention_weights=None,
+                 target_mask=None,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
-        ce = shifted_cross_entropy(logits, targets, self.pad_token_id)
+        ce = shifted_cross_entropy(logits, targets, self.pad_token_id,
+                                   target_mask=target_mask)
         total = ce
         out = {"ce_loss": ce}
+        if (self.use_contrastive or self.use_itm) and \
+                image_features is not None and text_features is not None:
+            image_features = self.image_feat_proj(image_features)
+            text_features = self.text_feat_proj(text_features)
 
         if (self.use_contrastive and image_features is not None
                 and text_features is not None):
@@ -138,7 +136,10 @@ class CombinedLoss(nn.Module):
                 and text_features is not None):
             B = image_features.shape[0]
             num_neg = int(B * self.negative_ratio)
-            rng = self.make_rng("itm")
+            # eval paths apply the loss without an "itm" rng: fall back to a
+            # fixed key (deterministic negatives are fine for val loss)
+            rng = (self.make_rng("itm") if self.has_rng("itm")
+                   else jax.random.PRNGKey(0))
             perm_rng, drop_rng = jax.random.split(rng)
             neg_idx = jax.random.permutation(perm_rng, B)[:num_neg]
             neg_txt_idx = jnp.roll(neg_idx, 1)

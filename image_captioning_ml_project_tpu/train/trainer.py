@@ -159,10 +159,13 @@ class CaptioningTrainer:
 
         T, V = caps.shape[1], self.config.model.vocab_size
         dummy_logits = jnp.zeros((2, T, V))
-        dummy_feat = jnp.zeros((2, self.config.model.projection_dim))
+        # match the real runtime feature dims: pooled image features carry
+        # encoder.feature_dim, text features carry decoder.hidden_dim
+        dummy_img = jnp.zeros((2, self.config.model.encoder.feature_dim))
+        dummy_txt = jnp.zeros((2, self.config.model.decoder.hidden_dim))
         loss_vars = self.loss_mod.init(
             {"params": l_rng, "itm": itm_rng}, dummy_logits, caps,
-            dummy_feat, dummy_feat, None)
+            dummy_img, dummy_txt, None)
         loss_params = loss_vars.get("params", {})
 
         params = {"model": model_params, "loss": loss_params}
@@ -194,7 +197,7 @@ class CaptioningTrainer:
     # ------------------------------------------------------------------
 
     def _forward_loss(self, params, batch_stats, images, captions, rng,
-                      train: bool):
+                      train: bool, caption_mask=None):
         """Shared forward + combined loss."""
         model_vars: Dict[str, Any] = {"params": params["model"]}
         has_bs = bool(jax.tree_util.tree_leaves(batch_stats))
@@ -217,18 +220,21 @@ class CaptioningTrainer:
             image_features=out.get("pooled_features"),
             text_features=out.get("text_features"),
             attention_weights=out.get("attention_weights"),
+            target_mask=caption_mask,
             deterministic=not train,
             rngs={"itm": itm_rng, "dropout": itm_rng} if train else {})
         return losses, new_bs
 
     def _build_steps(self):
-        def train_step(state: TrainState, images, captions, rng):
+        def train_step(state: TrainState, images, captions, caption_mask,
+                       rng):
             rng = jax.random.fold_in(rng, state.step)
             images = self._prepare_inputs(images)
 
             def loss_fn(params):
                 losses, new_bs = self._forward_loss(
-                    params, state.batch_stats, images, captions, rng, True)
+                    params, state.batch_stats, images, captions, rng, True,
+                    caption_mask=caption_mask)
                 return losses["total_loss"], (losses, new_bs)
 
             grads, (losses, new_bs) = jax.grad(
@@ -247,11 +253,12 @@ class CaptioningTrainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
-        def eval_loss_step(state: TrainState, images, captions):
+        def eval_loss_step(state: TrainState, images, captions,
+                           caption_mask):
             images = self._prepare_inputs(images)
             losses, _ = self._forward_loss(
                 state.params, state.batch_stats, images, captions,
-                jax.random.PRNGKey(0), False)
+                jax.random.PRNGKey(0), False, caption_mask=caption_mask)
             return losses["ce_loss"]
 
         self._eval_loss_step = jax.jit(eval_loss_step)
@@ -295,13 +302,14 @@ class CaptioningTrainer:
 
         self._rollout_step = jax.jit(rollout_step, static_argnums=(3,))
 
-        def rl_update_step(state: TrainState, images, sampled, advantages,
-                           rng):
+        def rl_update_step(state: TrainState, images, sampled, sample_mask,
+                           advantages, rng):
             """REINFORCE: loss = -mean(adv * logp(sampled))
-            (reference: src/train/trainer.py:371-378), with token masking."""
+            (reference: src/train/trainer.py:371-378). Token masking uses the
+            sampler's own mask (marks sampled tokens incl. EOS — safe when
+            pad == eos)."""
             rng = jax.random.fold_in(rng, state.step)
             images = self._prepare_inputs(images)
-            pad = self.config.model.pad_token_id
 
             def loss_fn(params):
                 model_vars = self._model_vars(state, params)
@@ -312,7 +320,7 @@ class CaptioningTrainer:
                 tok = sampled[:, 1:]
                 tok_logp = jnp.take_along_axis(
                     logp, tok[..., None], axis=-1)[..., 0]
-                mask = (tok != pad).astype(jnp.float32)
+                mask = sample_mask[:, 1:].astype(jnp.float32)
                 rl_weight = self.config.training.rl_weight
                 loss = -(advantages[:, None] * tok_logp * mask).sum() \
                     / jnp.maximum(mask.sum(), 1.0)
@@ -364,7 +372,6 @@ class CaptioningTrainer:
                 greedy, ref_tokens, ref_valid, df, specials)
             advantages = jax.lax.stop_gradient(sample_r - greedy_r)
 
-            pad = mc.pad_token_id
             sampled = sample.tokens
 
             def loss_fn(params):
@@ -375,7 +382,8 @@ class CaptioningTrainer:
                 tok = sampled[:, 1:]
                 tok_logp = jnp.take_along_axis(
                     logp, tok[..., None], axis=-1)[..., 0]
-                mask = (tok != pad).astype(jnp.float32)
+                # the sampler's mask marks real tokens incl. EOS (pad==eos safe)
+                mask = sample.mask[:, 1:].astype(jnp.float32)
                 loss = -(advantages[:, None] * tok_logp * mask).sum() \
                     / jnp.maximum(mask.sum(), 1.0)
                 return self.config.training.rl_weight * loss
@@ -430,13 +438,15 @@ class CaptioningTrainer:
             if (epoch + 1) % self.config.save_every == 0 or is_best:
                 self.save_checkpoint(epoch, is_best=is_best)
 
-    def _train_batches(self) -> Iterator[Dict[str, Any]]:
+    def _train_batches(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         it = iterate_batches(
             self.train_dataset, self.config.training.batch_size,
             shuffle=self.curriculum_sampler is None,
             sampler=iter(self.curriculum_sampler)
             if self.curriculum_sampler is not None else None,
-            seed=self.config.seed)
+            # fresh shuffle every epoch (torch DataLoader(shuffle=True)
+            # semantics); the curriculum sampler handles its own epoching
+            seed=self.config.seed + epoch)
         return prefetch(it, mesh=self.mesh,
                         data_axis=self.config.mesh.data_axis)
 
@@ -447,10 +457,11 @@ class CaptioningTrainer:
         meter = MetricLogger()
         timer = StepTimer(warmup=1)
         num_batches = 0
-        for i, batch in enumerate(self._train_batches()):
+        for i, batch in enumerate(self._train_batches(epoch)):
             with timer:
                 self.state, metrics = self._train_step(
-                    self.state, batch["image"], batch["caption_tokens"], rng)
+                    self.state, self._batch_inputs(batch),
+                    batch["caption_tokens"], batch["attention_mask"], rng)
             num_batches += 1
             if (i + 1) % self.config.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
@@ -512,7 +523,7 @@ class CaptioningTrainer:
                              mc.eos_token_id))
         meter = MetricLogger()
         max_refs = 5
-        for i, batch in enumerate(self._train_batches()):
+        for i, batch in enumerate(self._train_batches(epoch)):
             rng, step_rng = jax.random.split(rng)
             refs = [refs_by_id.get(int(iid), [[mc.eos_token_id]])
                     for iid in np.asarray(batch["image_id"])]
@@ -531,9 +542,9 @@ class CaptioningTrainer:
         max_length = self.config.inference.max_length
         refs_by_id = self._references_by_image_id()
         meter = MetricLogger()
-        for i, batch in enumerate(self._train_batches()):
+        for i, batch in enumerate(self._train_batches(epoch)):
             rng, roll_rng = jax.random.split(rng)
-            sampled, mask, greedy = self._rollout_step(
+            sampled, sample_mask, greedy = self._rollout_step(
                 self.state, self._batch_inputs(batch), roll_rng, max_length)
             sample_texts = [self.tokenizer.decode(t, skip_special_tokens=True)
                             for t in np.asarray(sampled)]
@@ -545,8 +556,8 @@ class CaptioningTrainer:
             greedy_r = self._rewards(greedy_texts, gt)
             advantages = jnp.asarray(sample_r - greedy_r, dtype=jnp.float32)
             self.state, metrics = self._rl_update_step(
-                self.state, self._batch_inputs(batch), sampled, advantages,
-                rng)
+                self.state, self._batch_inputs(batch), sampled, sample_mask,
+                advantages, rng)
             meter.update(rl_loss=float(metrics["rl_loss"]),
                          reward=float(sample_r.mean()))
             if (i + 1) % self.config.log_every == 0:
@@ -580,8 +591,12 @@ class CaptioningTrainer:
     # ------------------------------------------------------------------
 
     def _validate_epoch(self, epoch: int) -> Tuple[float, Dict[str, float]]:
-        batch_size = self.config.inference.num_candidates  # reference quirk,
-        # src/data/dataset.py:466
+        # reference quirk: val batch size = inference.num_candidates
+        # (src/data/dataset.py:466) — rounded up to a multiple of the data
+        # mesh axis so sharded device_put succeeds on multi-chip runs
+        dp = self.mesh.shape.get(self.config.mesh.data_axis, 1)
+        nc = self.config.inference.num_candidates
+        batch_size = -(-nc // dp) * dp
         max_length = self.config.inference.max_length
         losses = []
         generated, references, image_ids = [], [], []
@@ -590,9 +605,10 @@ class CaptioningTrainer:
         for batch in prefetch(it, mesh=self.mesh,
                               data_axis=self.config.mesh.data_axis):
             first_ref = batch["caption_tokens"][:, 0, :]
+            first_mask = batch["attention_mask"][:, 0, :]
             inputs = self._batch_inputs(batch)
             losses.append(float(self._eval_loss_step(
-                self.state, inputs, first_ref)))
+                self.state, inputs, first_ref, first_mask)))
             tokens = self._generate_step(self.state, inputs, max_length)
             texts = [self.tokenizer.decode(t, skip_special_tokens=True)
                      for t in np.asarray(tokens)]

@@ -62,3 +62,23 @@ def test_special_ids_shared(bpe_files):
     tok = GPT2BPETokenizer(vocab_file, merges_file)
     # GPT-2 convention: one <|endoftext|> token serves as bos/eos/pad
     assert tok.pad_token_id == tok.bos_token_id == tok.eos_token_id
+
+
+def test_matches_hf_on_non_ascii(bpe_files):
+    """Unicode letters must pre-tokenize like HF's \\p{L} classes."""
+    from transformers import GPT2Tokenizer
+
+    vocab_file, merges_file = bpe_files
+    hf = GPT2Tokenizer(vocab_file=vocab_file, merges_file=merges_file)
+    ours = GPT2BPETokenizer(vocab_file, merges_file)
+    for text in ["a café on the corner", "naïve θ measures 3½ cm",
+                 "snake_case_word", "日本語 text"]:
+        assert ours.tokenize_ids(text) == hf.encode(text), text
+
+
+def test_encode_appends_eos(bpe_files):
+    vocab_file, merges_file = bpe_files
+    tok = GPT2BPETokenizer(vocab_file, merges_file)
+    ids, mask = tok.encode("the cat", max_length=10)
+    n = int(mask.sum())
+    assert ids[n - 1] == tok.eos_token_id  # explicit EOS inside the mask

@@ -83,3 +83,56 @@ def test_combined_loss_ce_only(rng):
     out = loss_mod.apply(variables, logits, targets)
     assert set(out) == {"ce_loss", "total_loss"}
     np.testing.assert_allclose(float(out["total_loss"]), float(out["ce_loss"]))
+
+
+def test_combined_loss_itm_without_rng(rng):
+    """Eval paths apply the loss with no 'itm' rng — must not crash
+    (falls back to deterministic negatives)."""
+    loss_mod = CombinedLoss(pad_token_id=PAD, use_itm=True, hidden_dim=H)
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    targets = jnp.asarray(rng.randint(1, V, (B, T)))
+    img = jnp.asarray(rng.randn(B, H).astype(np.float32))
+    txt = jnp.asarray(rng.randn(B, H).astype(np.float32))
+    variables = loss_mod.init(
+        {"params": jax.random.PRNGKey(0), "itm": jax.random.PRNGKey(1)},
+        logits, targets, img, txt, None)
+    out = loss_mod.apply(variables, logits, targets, img, txt, None,
+                         deterministic=True)  # note: rngs={}
+    assert np.isfinite(float(out["itm_loss"]))
+
+
+def test_combined_loss_mismatched_feature_dims(rng):
+    """Encoder feature_dim != decoder hidden_dim is config-legal: the loss
+    module projects both to hidden_dim."""
+    loss_mod = CombinedLoss(pad_token_id=PAD, use_contrastive=True,
+                            use_itm=True, hidden_dim=H)
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    targets = jnp.asarray(rng.randint(1, V, (B, T)))
+    img = jnp.asarray(rng.randn(B, 24).astype(np.float32))   # encoder dim
+    txt = jnp.asarray(rng.randn(B, 12).astype(np.float32))   # decoder dim
+    variables = loss_mod.init(
+        {"params": jax.random.PRNGKey(0), "itm": jax.random.PRNGKey(1)},
+        logits, targets, img, txt, None)
+    out = loss_mod.apply(variables, logits, targets, img, txt, None,
+                         rngs={"itm": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(out["contrastive_loss"]))
+    assert np.isfinite(float(out["itm_loss"]))
+
+
+def test_shifted_ce_target_mask_supervises_eos(rng):
+    """With pad == eos (GPT-2 style), the attention mask keeps the EOS
+    target supervised while pad-id masking would strip it."""
+    V2 = 7
+    eos = 5  # acts as pad too
+    logits = jnp.asarray(rng.randn(1, 4, V2).astype(np.float32))
+    targets = jnp.asarray([[3, 4, eos, eos]])      # content, content, EOS, pad
+    mask = jnp.asarray([[1, 1, 1, 0]])
+    with_mask = float(shifted_cross_entropy(logits, targets, eos,
+                                            target_mask=mask))
+    without = float(shifted_cross_entropy(logits, targets, eos))
+    # pad-id masking supervises only t=1 target (4); the mask adds the EOS
+    assert with_mask != without
+    # manual: mean over targets {4, eos} vs {4}
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))[0]
+    want = -(logp[0, 4] + logp[1, eos]) / 2
+    np.testing.assert_allclose(with_mask, want, rtol=1e-5)

@@ -81,7 +81,8 @@ def test_train_step_reduces_loss(setup):
     losses = []
     for _ in range(15):
         trainer.state, metrics = trainer._train_step(
-            trainer.state, batch["image"], batch["caption_tokens"], rng)
+            trainer.state, batch["image"], batch["caption_tokens"],
+            batch["attention_mask"], rng)
         losses.append(float(metrics["total_loss"]))
     assert losses[-1] < losses[0] * 0.8, losses
     assert np.isfinite(losses).all()
@@ -151,7 +152,7 @@ def test_aux_losses_in_train_step(setup):
     batch = next(iter(trainer._train_batches()))
     trainer.state, metrics = trainer._train_step(
         trainer.state, batch["image"], batch["caption_tokens"],
-        jax.random.PRNGKey(0))
+        batch["attention_mask"], jax.random.PRNGKey(0))
     for k in ["contrastive_loss", "itm_loss", "attention_reg_loss"]:
         assert k in metrics and np.isfinite(float(metrics[k]))
 
@@ -219,7 +220,8 @@ def test_object_region_trainer(tmp_path):
     assert "region_features" in batch
     trainer.state, metrics = trainer._train_step(
         trainer.state, trainer._batch_inputs(batch),
-        batch["caption_tokens"], jax.random.PRNGKey(0))
+        batch["caption_tokens"], batch["attention_mask"],
+        jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"]))
     val_loss, val_metrics = trainer._validate_epoch(0)
     assert np.isfinite(val_loss) and "CIDEr" in val_metrics
