@@ -129,11 +129,14 @@ class GPT2BPETokenizer:
         return ids
 
     def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
-        """BPE ids + a trailing <|endoftext|>, padded with eos (= pad) to
-        max_length. The explicit EOS (covered by the attention mask) is what
-        lets the loss supervise sequence termination even though GPT-2's pad
-        and eos ids coincide — masking by pad id alone would strip it."""
-        ids = self.tokenize_ids(text)[: max_length - 1] + [self.eos_token_id]
+        """``<|endoftext|> BPE ids <|endoftext|>``, padded with eos (= pad)
+        to max_length. The trailing EOS (covered by the attention mask) is
+        what lets the loss supervise sequence termination even though GPT-2's
+        pad and eos ids coincide — masking by pad id alone would strip it.
+        The leading BOS supervises the first word from the same conditioning
+        decode uses (see HFTokenizerAdapter.encode / docs/parity.md)."""
+        ids = ([self.bos_token_id] + self.tokenize_ids(text)[: max_length - 2]
+               + [self.eos_token_id])
         out = np.full(max_length, self.pad_token_id, dtype=np.int32)
         mask = np.zeros(max_length, dtype=np.int32)
         out[: len(ids)] = ids
@@ -141,9 +144,14 @@ class GPT2BPETokenizer:
         return out, mask
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        ids = [int(i) for i in ids]
+        if skip_special_tokens:
+            from .tokenizer import truncate_at_eos
+
+            ids = truncate_at_eos(ids, self.eos_token_id, self.bos_token_id,
+                                  self.pad_token_id)
         pieces = []
         for i in ids:
-            i = int(i)
             if skip_special_tokens and i == self.eos_token_id:
                 continue
             pieces.append(self.decoder.get(i, ""))

@@ -268,6 +268,28 @@ class ObjectDetectionFeaturesDataset:
             print(f"Error loading features for {filename}: {e}")
         return feats, boxes, mask
 
+    def num_objects(self) -> np.ndarray:
+        """True detected-object count per example from the stored region
+        masks — the curriculum's ``num_objects`` difficulty signal
+        (reference: src/train/curriculum.py:100-111; its fallback constant
+        is replaced by the real counts sitting in the .npz files). One pass
+        over the unique feature files, cached per filename."""
+        counts: Dict[str, int] = {}
+        for ex in self.examples:
+            fn = ex["filename"]
+            if fn not in counts:
+                _, _, mask = self._load_features(fn)
+                counts[fn] = int(mask.sum())
+        return np.array([counts[ex["filename"]] for ex in self.examples],
+                        dtype=np.int32)
+
+    def caption_lengths(self) -> np.ndarray:
+        """Word counts per training caption (curriculum difficulty input,
+        reference: src/train/curriculum.py:82-98)."""
+        return np.array(
+            [len(ex["caption"].split()) for ex in self.examples
+             if "caption" in ex] or [0], dtype=np.int32)
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         ex = self.examples[idx]
         feats, boxes, mask = self._load_features(ex["filename"])

@@ -130,6 +130,28 @@ class WordVocab:
         return " ".join(words)
 
 
+def truncate_at_eos(ids: List[int], eos_id, bos_id=None, pad_id=None) -> List[int]:
+    """Cut a generated id sequence at its first *content-terminating* EOS.
+
+    Decoded sequences start with BOS (position 0); GPT-2-style tokenizers
+    have bos == eos == pad, so leading special ids are skipped first, then
+    everything from the next EOS on is dropped. Matches the reference's HF
+    ``generate`` semantics where rows are padded after EOS and padding is
+    never decoded (reference: src/models/decoders.py:645-654)."""
+    specials = {int(eos_id)}
+    if bos_id is not None:
+        specials.add(int(bos_id))
+    if pad_id is not None:
+        specials.add(int(pad_id))
+    start = 0
+    while start < len(ids) and int(ids[start]) in specials:
+        start += 1
+    for i in range(start, len(ids)):
+        if int(ids[i]) == int(eos_id):
+            return ids[:i]
+    return ids
+
+
 class HFTokenizerAdapter:
     """Wraps a HuggingFace tokenizer with the reference's special-token
     wiring (reference: src/main.py:160-168): pad←eos when missing, bos
@@ -161,11 +183,16 @@ class HFTokenizerAdapter:
         return self.hf.eos_token_id
 
     def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Token ids + a trailing EOS (covered by the attention mask). GPT-2
-        style tokenizers use pad==eos, so the mask — not the pad id — is what
-        marks the supervised positions incl. sequence termination."""
-        enc = self.hf(text, truncation=True, max_length=max_length - 1)
-        ids = list(enc["input_ids"]) + [int(self.eos_token_id)]
+        """``[BOS] token ids [EOS]`` (all covered by the attention mask).
+        GPT-2 style tokenizers use pad==eos, so the mask — not the pad id —
+        is what marks the supervised positions incl. sequence termination.
+        The leading BOS makes shifted CE supervise p(first_word | BOS),
+        matching decode-time conditioning (the reference trains without BOS
+        but decodes from BOS — src/models/decoders.py:571-581 vs :627-644 —
+        leaving the first word unsupervised; fixed here, see docs/parity.md)."""
+        enc = self.hf(text, truncation=True, max_length=max_length - 2)
+        ids = ([int(self.bos_token_id)] + list(enc["input_ids"])
+               + [int(self.eos_token_id)])
         out = np.full(max_length, int(self.pad_token_id), dtype=np.int32)
         mask = np.zeros(max_length, dtype=np.int32)
         out[: len(ids)] = ids
@@ -173,8 +200,11 @@ class HFTokenizerAdapter:
         return out, mask
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
-        return self.hf.decode([int(i) for i in ids],
-                              skip_special_tokens=skip_special_tokens)
+        ids = [int(i) for i in ids]
+        if skip_special_tokens:
+            ids = truncate_at_eos(ids, self.eos_token_id, self.bos_token_id,
+                                  self.pad_token_id)
+        return self.hf.decode(ids, skip_special_tokens=skip_special_tokens)
 
 
 def load_tokenizer(name_or_path: str, vocab_path: Optional[str] = None):

@@ -325,6 +325,30 @@ def calculate_metrics(generated_captions: List[str],
         generated_captions, reference_captions).items()}
 
 
+def per_sample_spice(generated_captions: List[str],
+                     reference_captions: List[List[str]]) -> np.ndarray:
+    """Per-sample SPICE F-scores via pycocoevalcap's scene-graph scorer —
+    the reference accepts ``spice`` as an SCST reward type
+    (reference: src/train/trainer.py:440-484, src/config.py:76). Raises
+    ImportError/RuntimeError when pycocoevalcap's SPICE (a Java tool) is
+    unavailable; callers fall back explicitly (never silently)."""
+    from pycocoevalcap.spice.spice import Spice
+
+    gts = {i: [{"caption": r} for r in refs]
+           for i, refs in enumerate(reference_captions)}
+    res = {i: [{"caption": g}] for i, g in enumerate(generated_captions)}
+    tok = PTBTokenizer()
+    _, scores = Spice().compute_score(tok.tokenize(gts), tok.tokenize(res))
+    out = np.zeros(len(generated_captions), dtype=np.float32)
+    for i, s in enumerate(scores):
+        # per-item entries are {"All": {"f": ...}, ...} (category break-down)
+        val = s.get("All", s) if isinstance(s, dict) else s
+        if isinstance(val, dict):
+            val = val.get("f", 0.0)
+        out[i] = float(val) if np.isfinite(float(val)) else 0.0
+    return out
+
+
 def per_sample_cider(generated_captions: List[str],
                      reference_captions: List[List[str]],
                      df: Optional[Dict[tuple, float]] = None,

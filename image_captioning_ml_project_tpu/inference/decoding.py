@@ -89,18 +89,33 @@ def _gather_state(state, flat_indices):
 
 
 def greedy_decode(step_fn, init_state, batch_size: int, bos_token_id: int,
-                  max_length: int) -> jnp.ndarray:
+                  max_length: int, eos_token_id: Optional[int] = None,
+                  pad_token_id: Optional[int] = None) -> jnp.ndarray:
     """Greedy argmax decode. Output [B, max_length]; position 0 is BOS
-    (parity with the reference generate loops)."""
+    (parity with the reference generate loops).
+
+    When ``eos_token_id`` is given, every position after the first emitted
+    EOS is ``pad_token_id`` — matching both :func:`sample_decode` and the
+    reference's HF ``generate`` (which pads finished rows,
+    reference: src/models/decoders.py:645-654). SCST relies on this: the
+    greedy baseline feeding the on-device CIDEr reward must not carry
+    post-EOS n-grams."""
     current = jnp.full((batch_size,), bos_token_id, dtype=jnp.int32)
+    if eos_token_id is not None and pad_token_id is None:
+        pad_token_id = eos_token_id
+    done = jnp.zeros((batch_size,), dtype=bool)
 
     def body(carry, _):
-        state, current = carry
+        state, current, done = carry
         logits, state = step_fn(state, current)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (state, nxt), current
+        if eos_token_id is not None:
+            nxt = jnp.where(done, pad_token_id, nxt)
+            done = done | (nxt == eos_token_id)
+        return (state, nxt, done), current
 
-    _, tokens = jax.lax.scan(body, (init_state, current), None, length=max_length)
+    _, tokens = jax.lax.scan(body, (init_state, current, done), None,
+                             length=max_length)
     return tokens.transpose(1, 0)
 
 
@@ -342,7 +357,9 @@ def decode(step_fn, init_state, batch_size: int, inference_config,
     L = max_length or ic.max_length
     strategy = ic.decoding_strategy
     if strategy == "greedy":
-        return greedy_decode(step_fn, init_state, batch_size, bos_token_id, L)
+        return greedy_decode(step_fn, init_state, batch_size, bos_token_id, L,
+                             eos_token_id=eos_token_id,
+                             pad_token_id=pad_token_id)
     if strategy == "nucleus":
         if rng is None:
             rng = jax.random.PRNGKey(0)

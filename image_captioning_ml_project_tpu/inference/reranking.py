@@ -15,11 +15,22 @@ score with CLIP, keep the best; README.md:370-379). Pipeline:
 
 from __future__ import annotations
 
+import logging
 from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# CLIP's own preprocessing statistics (not ImageNet's)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+def clip_normalize(images_uint8):
+    """uint8 NHWC -> CLIP-normalized float32 NHWC (jnp-traceable)."""
+    x = images_uint8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
 
 
 def clip_rerank_scores(scorer, scorer_variables, images: jnp.ndarray,
@@ -59,3 +70,75 @@ def rerank_candidates(
     scores = np.asarray(scores)
     best = scores.argmax(axis=1)
     return cand[np.arange(B), best], scores
+
+
+class CLIPReranker:
+    """Bundles everything the eval/demo CLI needs to turn [B, K, L] beam
+    candidates into [B, L] CLIP-selected winners (the reference's configured
+    surface, src/config.py:107-109 / README.md:370-379).
+
+    ``clip_tokenize_fn``: list of B*K caption strings → [B*K, L_clip] CLIP
+    ids. ``decode_fn``: caption-tokenizer ids → text. Images arrive uint8
+    NHWC (the pipeline convention) and are CLIP-normalized here."""
+
+    def __init__(self, scorer, scorer_variables,
+                 clip_tokenize_fn: Callable[[List[str]], np.ndarray],
+                 decode_fn: Callable[[np.ndarray], str]):
+        self.scorer = scorer
+        self.variables = scorer_variables
+        self.clip_tokenize_fn = clip_tokenize_fn
+        self.decode_fn = decode_fn
+
+    def __call__(self, images_uint8, candidates) -> np.ndarray:
+        images = clip_normalize(jnp.asarray(images_uint8))
+        best, _ = rerank_candidates(candidates, images, self.decode_fn,
+                                    self.clip_tokenize_fn, self.scorer,
+                                    self.variables)
+        return best
+
+
+def build_hf_reranker(decode_fn,
+                      clip_model_name: str = "openai/clip-vit-base-patch32"
+                      ) -> Optional[CLIPReranker]:
+    """CLIPReranker from a locally cached HF CLIP checkpoint; None (with a
+    warning) when the checkpoint or tokenizer is not available offline."""
+    logger = logging.getLogger(__name__)
+    try:
+        from transformers import CLIPModel, CLIPTokenizer
+
+        from ..models.clip_text import CLIPScorer, port_clip_model
+
+        model = CLIPModel.from_pretrained(clip_model_name,
+                                          local_files_only=True)
+        tok = CLIPTokenizer.from_pretrained(clip_model_name,
+                                            local_files_only=True)
+        cfg = model.config
+        scorer = CLIPScorer(
+            vision_hidden=cfg.vision_config.hidden_size,
+            vision_layers=cfg.vision_config.num_hidden_layers,
+            vision_heads=cfg.vision_config.num_attention_heads,
+            patch_size=cfg.vision_config.patch_size,
+            text_vocab=cfg.text_config.vocab_size,
+            text_hidden=cfg.text_config.hidden_size,
+            text_layers=cfg.text_config.num_hidden_layers,
+            text_heads=cfg.text_config.num_attention_heads,
+            text_eos_token_id=cfg.text_config.eos_token_id,
+            text_max_positions=cfg.text_config.max_position_embeddings,
+            projection_dim=cfg.projection_dim)
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        variables = port_clip_model(
+            sd, vision_layers=cfg.vision_config.num_hidden_layers,
+            text_layers=cfg.text_config.num_hidden_layers)
+
+        def clip_tokenize(texts: List[str]) -> np.ndarray:
+            enc = tok(texts, padding="max_length", truncation=True,
+                      max_length=cfg.text_config.max_position_embeddings,
+                      return_tensors="np")
+            return enc["input_ids"].astype(np.int32)
+
+        return CLIPReranker(scorer, variables, clip_tokenize, decode_fn)
+    except Exception as e:
+        logger.warning(
+            "CLIP reranking requested but no local CLIP checkpoint for "
+            "'%s' (%s); continuing without reranking", clip_model_name, e)
+        return None

@@ -153,15 +153,32 @@ def train(config: Config, checkpoint_path=None, tokenizer=None):
     return trainer
 
 
-def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
+def _resolve_reranker(config: Config, tokenizer, reranker):
+    """Resolve the CLIP reranker when ``use_clip_reranking`` is set
+    (reference surface: src/config.py:107-109). An injected ``reranker``
+    (tests / programmatic use) wins; otherwise a locally cached HF CLIP
+    checkpoint is ported; on failure reranking is skipped with a warning."""
+    if not config.inference.use_clip_reranking:
+        return None
+    if reranker is not None:
+        return reranker
+    from .inference.reranking import build_hf_reranker
+
+    return build_hf_reranker(
+        lambda ids: tokenizer.decode(ids, skip_special_tokens=True))
+
+
+def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
+             reranker=None):
     """reference: src/main.py:202-267 — beam/nucleus/greedy per
-    InferenceConfig through the jit decode engine."""
+    InferenceConfig through the jit decode engine, with optional CLIP
+    reranking over ``num_candidates`` beam candidates."""
     import jax
 
     from .data.coco import iterate_batches
     from .data.pipeline import prefetch
     from .evaluate.metrics import calculate_metrics
-    from .inference.decoding import decode
+    from .inference.decoding import beam_search, decode
 
     logger = logging.getLogger(__name__)
     tokenizer = tokenizer or setup_tokenizer(config)
@@ -174,8 +191,17 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
     if checkpoint_path:
         trainer.load_checkpoint(checkpoint_path)
 
+    if (config.model.encoder.encoder_type == EncoderType.OBJECT_REGION
+            or config.model.encoder.use_object_features) \
+            and config.inference.use_clip_reranking:
+        logger.warning("CLIP reranking needs raw images; the object-region "
+                       "pipeline carries detector features only — skipping")
+        config.inference.use_clip_reranking = False
+    reranker = _resolve_reranker(config, tokenizer, reranker)
+
     mc = config.model
-    max_length = config.inference.max_length
+    ic = config.inference
+    max_length = ic.max_length
 
     @jax.jit
     def decode_batch(state, inputs):
@@ -189,15 +215,38 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
             return trainer.model.apply(variables, s, toks,
                                        method=trainer.model.step)
 
-        return decode(step_fn, cache, B, config.inference,
+        if reranker is not None:
+            # K candidates per image for CLIP selection; beam regardless of
+            # the configured single-sequence strategy (the reference's
+            # candidate generator is beam search, src/config.py:107-109)
+            res = beam_search(step_fn, cache, B,
+                              max(ic.beam_size, ic.num_candidates),
+                              mc.bos_token_id, mc.eos_token_id,
+                              mc.pad_token_id, max_length,
+                              length_penalty=ic.length_penalty,
+                              min_length=ic.min_length,
+                              num_beam_groups=ic.num_beam_groups,
+                              diversity_penalty=ic.diversity_penalty,
+                              return_all=True)
+            return res.tokens[:, : ic.num_candidates]
+        return decode(step_fn, cache, B, ic,
                       mc.bos_token_id, mc.eos_token_id, mc.pad_token_id)
 
     generated, references, image_ids = [], [], []
-    it = iterate_batches(val_ds, config.inference.num_candidates,
+    # reference quirk: eval batch = inference.num_candidates
+    # (src/data/dataset.py:466) — rounded up to a multiple of the data mesh
+    # axis so sharded device_put works on multi-chip runs (same policy as
+    # trainer._validate_epoch)
+    dp = trainer.mesh.shape.get(config.mesh.data_axis, 1)
+    batch_size = -(-ic.num_candidates // dp) * dp
+    it = iterate_batches(val_ds, batch_size,
                          shuffle=False, drop_last=False, pad_last=True)
-    for batch in prefetch(it, mesh=trainer.mesh):
-        tokens = np.asarray(decode_batch(trainer.state,
-                                         trainer._batch_inputs(batch)))
+    for batch in prefetch(it, mesh=trainer.mesh,
+                          data_axis=config.mesh.data_axis):
+        tokens = decode_batch(trainer.state, trainer._batch_inputs(batch))
+        if reranker is not None:
+            tokens = reranker(batch["image"], tokens)
+        tokens = np.asarray(tokens)
         valid = batch.get("batch_valid", np.ones(len(tokens), dtype=bool))
         for i in range(len(tokens)):
             if not valid[i]:
@@ -215,22 +264,55 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None):
 
 
 def demo(config: Config, checkpoint_path=None, image_path=None,
-         tokenizer=None, show: bool = False):
-    """reference: src/main.py:270-343 — caption one image; saves/plots the
-    captioned image if matplotlib is available, always prints the text."""
+         tokenizer=None, show: bool = False, reranker=None):
+    """reference: src/main.py:270-343 — caption one image with the
+    configured decoding strategy (+ optional CLIP reranking); saves/plots
+    the captioned image if matplotlib is available, always prints the text."""
+    import jax
     import jax.numpy as jnp
 
     logger = logging.getLogger(__name__)
     tokenizer = tokenizer or setup_tokenizer(config)
-    # Reuse the full trainer (it owns the jitted generate); datasets unused.
+    # Reuse the full trainer (it owns the jitted decode); datasets unused.
     trainer = _make_model_only_trainer(config, tokenizer)
     if checkpoint_path:
         trainer.load_checkpoint(checkpoint_path)
+    reranker = _resolve_reranker(config, tokenizer, reranker)
 
     img = load_image(image_path, config.image_size, train=False)
     images = jnp.asarray(img[None])
-    tokens = trainer._generate_step(trainer.state, images,
-                                    config.inference.max_length)
+    if reranker is not None:
+        from .inference.decoding import beam_search
+
+        mc, ic = config.model, config.inference
+
+        @jax.jit
+        def candidates_fn(state, inputs):
+            inputs = trainer._prepare_inputs(inputs)
+            variables = trainer._model_vars(state)
+            cache = trainer.model.apply(variables, inputs, ic.max_length,
+                                        method=trainer.model.init_cache)
+
+            def step_fn(s, toks):
+                return trainer.model.apply(variables, s, toks,
+                                           method=trainer.model.step)
+
+            res = beam_search(step_fn, cache, 1,
+                              max(ic.beam_size, ic.num_candidates),
+                              mc.bos_token_id, mc.eos_token_id,
+                              mc.pad_token_id, ic.max_length,
+                              length_penalty=ic.length_penalty,
+                              min_length=ic.min_length,
+                              num_beam_groups=ic.num_beam_groups,
+                              diversity_penalty=ic.diversity_penalty,
+                              return_all=True)
+            return res.tokens[:, : ic.num_candidates]
+
+        cands = candidates_fn(trainer.state, images)
+        tokens = reranker(images, cands)
+    else:
+        rng = jax.random.PRNGKey(config.seed)
+        tokens = trainer._val_decode_step(trainer.state, images, rng)
     caption = tokenizer.decode(np.asarray(tokens)[0], skip_special_tokens=True)
     logger.info("Generated caption: %s", caption)
     print(caption)

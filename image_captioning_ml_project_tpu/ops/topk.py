@@ -88,6 +88,11 @@ def two_stage_top_k(x: jnp.ndarray, k: int, block: int = 512
     xb = x.reshape(B, nblk, block)
     block_max = xb.max(axis=-1)                                   # [B, nblk]
     _, top_blocks = jax.lax.top_k(block_max, k)                   # [B, k]
+    # Sort the selected blocks by index so the final top_k scans candidates
+    # in ascending global-index order — exact ties then resolve to the
+    # lowest index, token-identical to lax.top_k's tie rule (block_max ties
+    # already pick lowest-indexed blocks via lax.top_k above).
+    top_blocks = jnp.sort(top_blocks, axis=-1)
     gathered = jnp.take_along_axis(xb, top_blocks[:, :, None], axis=1)
     flat = gathered.reshape(B, k * block)
     vals, local = jax.lax.top_k(flat, k)

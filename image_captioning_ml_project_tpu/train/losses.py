@@ -70,6 +70,15 @@ def contrastive_loss(image_features: jnp.ndarray, text_features: jnp.ndarray,
     return (loss_i2t + loss_t2i) / 2.0
 
 
+def itm_negative_indices(rng: jax.Array, batch_size: int, num_neg: int):
+    """Indices for ITM mismatched pairs: adjacent entries of one full-batch
+    permutation, so ``img_idx[i] != txt_idx[i]`` whenever batch_size >= 2 —
+    ``jnp.roll`` over a truncated slice degenerates to identity at
+    num_neg == 1, labeling a true positive as negative."""
+    perm = jax.random.permutation(rng, batch_size)
+    return perm[:num_neg], perm[(jnp.arange(num_neg) + 1) % batch_size]
+
+
 class ITMHead(nn.Module):
     """Image-text matching binary classifier
     (reference: src/train/losses.py:100-108): MLP over [img; txt] → 2."""
@@ -141,8 +150,9 @@ class CombinedLoss(nn.Module):
             rng = (self.make_rng("itm") if self.has_rng("itm")
                    else jax.random.PRNGKey(0))
             perm_rng, drop_rng = jax.random.split(rng)
-            neg_idx = jax.random.permutation(perm_rng, B)[:num_neg]
-            neg_txt_idx = jnp.roll(neg_idx, 1)
+            # reference negatives: src/train/losses.py:139-151 (same
+            # single-negative hazard, fixed in itm_negative_indices)
+            neg_idx, neg_txt_idx = itm_negative_indices(perm_rng, B, num_neg)
             all_img = jnp.concatenate(
                 [image_features, image_features[neg_idx]], axis=0)
             all_txt = jnp.concatenate(

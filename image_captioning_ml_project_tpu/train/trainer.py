@@ -274,10 +274,38 @@ class CaptioningTrainer:
                 return self.model.apply(variables, s, toks,
                                         method=self.model.step)
 
-            return greedy_decode(step_fn, cache, B,
-                                 self.config.model.bos_token_id, max_length)
+            mc = self.config.model
+            return greedy_decode(step_fn, cache, B, mc.bos_token_id,
+                                 max_length, eos_token_id=mc.eos_token_id,
+                                 pad_token_id=mc.pad_token_id)
 
         self._generate_step = jax.jit(generate_step, static_argnums=(2,))
+
+        def val_decode_step(state: TrainState, images, rng):
+            """Decode with the *configured* InferenceConfig strategy — the
+            reference's `_validate_epoch` generates through model.generate,
+            which for GPT-2 is beam search (src/train/trainer.py:540 →
+            src/models/decoders.py:645-654), so best-CIDEr checkpoint
+            selection must run the same decode as final eval."""
+            from ..inference.decoding import decode
+
+            images = self._prepare_inputs(images)
+            variables = self._model_vars(state)
+            B = jax.tree_util.tree_leaves(images)[0].shape[0]
+            mc = self.config.model
+            max_length = self.config.inference.max_length
+            cache = self.model.apply(variables, images, max_length,
+                                     method=self.model.init_cache)
+
+            def step_fn(s, toks):
+                return self.model.apply(variables, s, toks,
+                                        method=self.model.step)
+
+            return decode(step_fn, cache, B, self.config.inference,
+                          mc.bos_token_id, mc.eos_token_id, mc.pad_token_id,
+                          rng=rng, max_length=max_length)
+
+        self._val_decode_step = jax.jit(val_decode_step)
 
         def rollout_step(state: TrainState, images, rng, max_length):
             """SCST rollouts: one sampled + one greedy decode, shared
@@ -297,7 +325,8 @@ class CaptioningTrainer:
                                    mc.eos_token_id, mc.pad_token_id,
                                    max_length)
             greedy = greedy_decode(step_fn, cache, B, mc.bos_token_id,
-                                   max_length)
+                                   max_length, eos_token_id=mc.eos_token_id,
+                                   pad_token_id=mc.pad_token_id)
             return sample.tokens, sample.mask, greedy
 
         self._rollout_step = jax.jit(rollout_step, static_argnums=(3,))
@@ -364,7 +393,8 @@ class CaptioningTrainer:
                                    mc.bos_token_id, mc.eos_token_id,
                                    mc.pad_token_id, max_length)
             greedy = greedy_decode(step_fn, cache, B, mc.bos_token_id,
-                                   max_length)
+                                   max_length, eos_token_id=mc.eos_token_id,
+                                   pad_token_id=mc.pad_token_id)
 
             sample_r = per_sample_cider_device(
                 sample.tokens, ref_tokens, ref_valid, df, specials)
@@ -457,6 +487,10 @@ class CaptioningTrainer:
         meter = MetricLogger()
         timer = StepTimer(warmup=1)
         num_batches = 0
+        # Off the logging cadence, losses are kept as device scalars and
+        # fetched at epoch end — a per-batch float() would block dispatch of
+        # step i+1 on step i finishing, serializing device with host prep.
+        pending_losses = []
         for i, batch in enumerate(self._train_batches(epoch)):
             with timer:
                 self.state, metrics = self._train_step(
@@ -474,7 +508,10 @@ class CaptioningTrainer:
                     host["total_loss"], host["learning_rate"],
                     1e3 * ts.get("mean_s", 0.0), 1e3 * ts.get("p95_s", 0.0))
             else:
-                meter.update(total_loss=float(metrics["total_loss"]))
+                pending_losses.append(metrics["total_loss"])
+        for v in np.asarray(pending_losses, dtype=np.float32) \
+                if pending_losses else []:
+            meter.update(total_loss=float(v))
 
         if tc.use_rl and epoch >= tc.rl_start_epoch:
             self._train_reinforcement_learning(epoch, rng)
@@ -583,6 +620,18 @@ class CaptioningTrainer:
         if reward_type == "rouge":
             _, ps = rouge_l(gen, rr)
             return ps
+        if reward_type == "spice":
+            try:
+                from ..evaluate.metrics import per_sample_spice
+
+                return per_sample_spice(texts, refs)
+            except Exception as e:
+                if not getattr(self, "_spice_warned", False):
+                    self._spice_warned = True
+                    self.logger.warning(
+                        "SPICE reward unavailable (%s: pycocoevalcap SPICE "
+                        "needs Java); falling back to per-sample CIDEr", e)
+                return per_sample_cider(texts, refs)
         self.logger.warning("Unknown reward '%s', using CIDEr", reward_type)
         return per_sample_cider(texts, refs)
 
@@ -597,25 +646,36 @@ class CaptioningTrainer:
         dp = self.mesh.shape.get(self.config.mesh.data_axis, 1)
         nc = self.config.inference.num_candidates
         batch_size = -(-nc // dp) * dp
-        max_length = self.config.inference.max_length
+        rng = jax.random.PRNGKey(self.config.seed + 17)
         losses = []
         generated, references, image_ids = [], [], []
+        # pad_last so the trailing short batch is evaluated (static shapes),
+        # covering every val image (reference iterates all batches,
+        # src/train/trainer.py:506)
         it = iterate_batches(self.val_dataset, batch_size, shuffle=False,
-                             drop_last=True)
+                             drop_last=False, pad_last=True)
         for batch in prefetch(it, mesh=self.mesh,
                               data_axis=self.config.mesh.data_axis):
             first_ref = batch["caption_tokens"][:, 0, :]
             first_mask = batch["attention_mask"][:, 0, :]
             inputs = self._batch_inputs(batch)
-            losses.append(float(self._eval_loss_step(
-                self.state, inputs, first_ref, first_mask)))
-            tokens = self._generate_step(self.state, inputs, max_length)
-            texts = [self.tokenizer.decode(t, skip_special_tokens=True)
-                     for t in np.asarray(tokens)]
-            generated.extend(texts)
-            references.extend(batch["captions"])
-            image_ids.extend(int(i) for i in batch["image_id"])
-        val_loss = float(np.mean(losses)) if losses else 0.0
+            valid = batch.get("batch_valid",
+                              np.ones(batch_size, dtype=bool))
+            nvalid = int(valid.sum())
+            losses.append((float(self._eval_loss_step(
+                self.state, inputs, first_ref, first_mask)), nvalid))
+            rng, step_rng = jax.random.split(rng)
+            tokens = np.asarray(
+                self._val_decode_step(self.state, inputs, step_rng))
+            for j in range(len(tokens)):
+                if not valid[j]:
+                    continue
+                generated.append(self.tokenizer.decode(
+                    tokens[j], skip_special_tokens=True))
+                references.append(batch["captions"][j])
+                image_ids.append(int(np.asarray(batch["image_id"])[j]))
+        val_loss = (sum(l * n for l, n in losses)
+                    / max(sum(n for _, n in losses), 1)) if losses else 0.0
         metrics = calculate_metrics(generated, references, image_ids) \
             if generated else {"CIDEr": 0.0}
         return val_loss, metrics

@@ -29,6 +29,12 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     def _path(self, name: str) -> str:
+        """Names are keys within the checkpoint dir; anything that is
+        already a path (absolute, contains a separator, or exists on disk)
+        is used verbatim so ``--checkpoint runs/x/best_model`` does not
+        silently resolve under ``checkpoint_dir``."""
+        if os.path.isabs(name) or os.sep in name or os.path.exists(name):
+            return os.path.abspath(name)
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state: Dict[str, Any],
