@@ -93,19 +93,46 @@ class GPT2Attention(nn.Module):
         hd = q.shape[-1]
         scale = 1.0 / (hd ** 0.5)
         Bk = x.shape[0]
+        S = k_cache.shape[1]
 
-        if ancestry is not None:
-            idx = ancestry[:, :, None, None]
-            k_read = jnp.take_along_axis(k_cache, idx, axis=0)
-            v_read = jnp.take_along_axis(v_cache, idx, axis=0)
+        if ancestry is not None and prefix_k is not None:
+            # Gather-free lazy-ancestry read: instead of materializing a
+            # permuted [Bk, S, nh, hd] cache copy (take_along_axis wrote
+            # ~2 full caches of HBM traffic per layer per step — the
+            # dominant remaining cost at beam 5), score q against the K
+            # candidate beam rows of its own image (K× extra dot FLOPs on a
+            # tiny contraction — MXU-cheap) and select per (slot, position)
+            # with a one-hot sum over the beam axis. The cache buffers are
+            # each read exactly once and never copied.
+            B = prefix_k.shape[0]
+            K = Bk // B
+            anc_local = ancestry - (jnp.arange(
+                Bk, dtype=ancestry.dtype)[:, None] // K) * K     # [Bk,S] in 0..K-1
+            qg = q.reshape(B, K, nh, hd)
+            kb = k_cache.reshape(B, K, S, nh, hd)
+            scores_all = jnp.einsum(
+                "bqnd,bcsnd->bqcns", qg, kb,
+                preferred_element_type=jnp.float32) * scale      # [B,K,K,nh,S]
+            onehot = (anc_local.reshape(B, K, 1, S)
+                      == jnp.arange(K, dtype=ancestry.dtype)[None, None, :, None])
+            scores_old = jnp.where(onehot[:, :, :, None, :], scores_all,
+                                   0.0).sum(axis=2)              # [B,K,nh,S]
+            scores_old = scores_old.reshape(Bk, nh, 1, S)
+            v_read = None  # output side handled by the selecting einsum below
+            sel = (onehot, None)
         else:
-            k_read, v_read = k_cache, v_cache
+            if ancestry is not None:
+                idx = ancestry[:, :, None, None]
+                k_read = jnp.take_along_axis(k_cache, idx, axis=0)
+                v_read = jnp.take_along_axis(v_cache, idx, axis=0)
+            else:
+                k_read, v_read = k_cache, v_cache
+            scores_old = jnp.einsum("bqnd,bknd->bnqk", q, k_read,
+                                    preferred_element_type=jnp.float32) * scale
+            sel = None
 
         # past suffix entries: strictly < pos (this step's entry is handled
         # separately below and the cache slot may hold stale data)
-        scores_old = jnp.einsum("bqnd,bknd->bnqk", q, k_read,
-                                preferred_element_type=jnp.float32) * scale
-        S = k_cache.shape[1]
         scores_old = jnp.where((jnp.arange(S) < pos)[None, None, None, :],
                                scores_old, _NEG_INF)
         score_self = (q.astype(jnp.float32)
@@ -133,8 +160,19 @@ class GPT2Attention(nn.Module):
                              prefix_v).reshape(Bk, 1, nh, hd)
         w_old = w[..., off:off + S]
         w_self = w[..., off + S]  # [Bk, nh, 1]
-        out = out + jnp.einsum("bnqk,bknd->bqnd",
-                               w_old.astype(v_read.dtype), v_read)
+        if sel is not None:
+            onehot, _ = sel
+            B = prefix_k.shape[0]
+            K = Bk // B
+            vb = v_cache.reshape(B, K, S, nh, hd)
+            wsel = (w_old.reshape(B, K, nh, S)[:, :, None, :, :]
+                    * onehot[:, :, :, None, :])                  # [B,K,K,nh,S]
+            out = out + jnp.einsum(
+                "bqcns,bcsnd->bqnd", wsel.astype(vb.dtype),
+                vb).reshape(Bk, 1, nh, hd)
+        else:
+            out = out + jnp.einsum("bnqk,bknd->bqnd",
+                                   w_old.astype(v_read.dtype), v_read)
         out = out + w_self.transpose(0, 2, 1)[..., None].astype(v_new.dtype) \
             * v_new
 

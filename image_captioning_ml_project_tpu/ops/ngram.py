@@ -63,6 +63,10 @@ def lookup_sorted(table: jnp.ndarray, values: jnp.ndarray,
                   default: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
     """Binary-search lookup: for each value, return payload[j] where
     table[j] == value, else ``default``. ``table`` must be sorted."""
+    if table.shape[0] == 0:
+        # empty df table (e.g. no reference caption reaches this n-gram
+        # order): every lookup misses
+        return jnp.broadcast_to(default, values.shape).astype(payload.dtype)
     idx = jnp.searchsorted(table, values)
     idx = jnp.clip(idx, 0, table.shape[0] - 1)
     found = table[idx] == values
