@@ -113,6 +113,11 @@ class DecoderConfig:
     # GPT-2 shape parameters used when pretrained weights are not loaded
     # (reference: src/models/decoders.py:520-531 builds GPT2Config from these).
     gpt2_n_positions: int = 1024
+    # KV-cached decode step implementation: "auto" picks the fused Pallas
+    # kernel (ops/pallas_decode.py) on a single TPU chip and the XLA one-hot
+    # path otherwise (CPU tests, sharded multi-chip decode); "pallas"/"xla"
+    # force a path ("pallas" off-TPU runs the kernel in interpreter mode).
+    decode_kernel: str = "auto"
 
 
 @dataclass

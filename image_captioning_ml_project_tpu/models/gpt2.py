@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import DecoderConfig
+from ..ops.pallas_decode import fused_beam_decode_attention
 
 _NEG_INF = -1e9
 
@@ -70,64 +71,75 @@ class GPT2Attention(nn.Module):
         return self.c_proj(out.reshape(B, T, self.hidden_dim)), (k, v)
 
     def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
-                    prefix_v=None, ancestry=None):
+                    prefix_v=None, anc_local=None, kernel="xla"):
         """x [Bk, 1, H]; write K/V at suffix position ``pos``, attend over
         the (optional) shared prefix plus suffix positions <= pos.
 
-        ``prefix_k``/``prefix_v`` [B, P, nh, hd] are per-*image* (identical
-        across the Bk = B*K tiled beams), so beam search never tiles or
-        gathers them — they stay out of the per-step reorder traffic.
+        Caches are **flat** [Bk, S, H]; ``prefix_k``/``prefix_v`` [B, P, H]
+        are per-*image* (identical across the Bk = B*K tiled beams), so beam
+        search never tiles or gathers them.
 
-        ``ancestry`` [Bk, S]: lazy beam reorder — the cache is *never*
-        physically permuted by beam search; instead row ``ancestry[r, τ]``
-        holds position τ's K/V for the hypothesis currently in slot r, and
-        the permutation is applied at read time.
+        ``anc_local`` [Bk, S] int32 in [0, K): lazy beam reorder — the cache
+        is *never* physically permuted by beam search; row
+        ``anc_local[r, t]`` names which of slot r's image-local beam rows
+        holds position t's K/V, and the permutation is applied at read time.
 
-        Write-last discipline: the step's own K/V entry is scored *directly*
-        from ``k_new``/``v_new`` (never read back from the cache), so the
-        dynamic_update_slice at the end is the buffer's final use in the
-        scan iteration — XLA updates the carried cache in place instead of
-        copying it (measured: 152 → 88 ms per 64-image beam-5 batch)."""
-        q, k_new, v_new = self._qkv(x)
+        ``kernel`` selects the step implementation:
+
+        * ``"pallas"`` — the fused decode kernel
+          (:func:`..ops.pallas_decode.fused_beam_decode_attention`): one
+          VMEM pass over the cache block, per-head MXU reductions, and a
+          truly in-place DMA append. XLA copies the full cache on every
+          dynamic_update_slice on this toolchain (measured,
+          scripts/bench_cache_variants.py), so this is the TPU fast path.
+        * ``"xla"`` — the portable path (CPU tests, sharded multi-chip
+          decode): gather-free one-hot candidate select + write-last DUS.
+        """
+        xf = x[:, 0, :]
+        qkv = self.c_attn(xf)                           # [Bk, 3H]
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)    # [Bk, H] each
         nh = self.num_heads
-        hd = q.shape[-1]
+        H = self.hidden_dim
+        hd = H // nh
         scale = 1.0 / (hd ** 0.5)
-        Bk = x.shape[0]
+        Bk = xf.shape[0]
         S = k_cache.shape[1]
 
-        if ancestry is not None and prefix_k is not None:
-            # Gather-free lazy-ancestry read: instead of materializing a
-            # permuted [Bk, S, nh, hd] cache copy (take_along_axis wrote
-            # ~2 full caches of HBM traffic per layer per step — the
-            # dominant remaining cost at beam 5), score q against the K
-            # candidate beam rows of its own image (K× extra dot FLOPs on a
+        if kernel == "pallas" and prefix_k is not None:
+            K = Bk // prefix_k.shape[0]
+            out, k_cache, v_cache = fused_beam_decode_attention(
+                q, k_new, v_new, k_cache, v_cache, prefix_k, prefix_v,
+                anc_local, pos, num_heads=nh, beam_size=K, scale=scale)
+            return self.c_proj(out)[:, None, :], k_cache, v_cache
+
+        qh = q.reshape(Bk, 1, nh, hd)
+        kh_new = k_new.reshape(Bk, 1, nh, hd)
+        vh_new = v_new.reshape(Bk, 1, nh, hd)
+
+        if anc_local is not None and prefix_k is not None:
+            # Gather-free lazy-ancestry read: score q against the K
+            # candidate beam rows of its own image (Kx extra dot FLOPs on a
             # tiny contraction — MXU-cheap) and select per (slot, position)
-            # with a one-hot sum over the beam axis. The cache buffers are
-            # each read exactly once and never copied.
+            # with a one-hot sum over the beam axis, so no permuted cache
+            # copy ever materializes.
             B = prefix_k.shape[0]
             K = Bk // B
-            anc_local = ancestry - (jnp.arange(
-                Bk, dtype=ancestry.dtype)[:, None] // K) * K     # [Bk,S] in 0..K-1
-            qg = q.reshape(B, K, nh, hd)
+            qg = qh.reshape(B, K, nh, hd)
             kb = k_cache.reshape(B, K, S, nh, hd)
             scores_all = jnp.einsum(
                 "bqnd,bcsnd->bqcns", qg, kb,
                 preferred_element_type=jnp.float32) * scale      # [B,K,K,nh,S]
             onehot = (anc_local.reshape(B, K, 1, S)
-                      == jnp.arange(K, dtype=ancestry.dtype)[None, None, :, None])
+                      == jnp.arange(K, dtype=anc_local.dtype)[None, None, :, None])
             scores_old = jnp.where(onehot[:, :, :, None, :], scores_all,
                                    0.0).sum(axis=2)              # [B,K,nh,S]
             scores_old = scores_old.reshape(Bk, nh, 1, S)
             v_read = None  # output side handled by the selecting einsum below
-            sel = (onehot, None)
+            sel = onehot
         else:
-            if ancestry is not None:
-                idx = ancestry[:, :, None, None]
-                k_read = jnp.take_along_axis(k_cache, idx, axis=0)
-                v_read = jnp.take_along_axis(v_cache, idx, axis=0)
-            else:
-                k_read, v_read = k_cache, v_cache
-            scores_old = jnp.einsum("bqnd,bknd->bnqk", q, k_read,
+            kh = k_cache.reshape(Bk, S, nh, hd)
+            v_read = v_cache.reshape(Bk, S, nh, hd)
+            scores_old = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
                                     preferred_element_type=jnp.float32) * scale
             sel = None
 
@@ -135,8 +147,8 @@ class GPT2Attention(nn.Module):
         # separately below and the cache slot may hold stale data)
         scores_old = jnp.where((jnp.arange(S) < pos)[None, None, None, :],
                                scores_old, _NEG_INF)
-        score_self = (q.astype(jnp.float32)
-                      * k_new.astype(jnp.float32)).sum(-1) * scale  # [Bk,1,nh]
+        score_self = (qh.astype(jnp.float32)
+                      * kh_new.astype(jnp.float32)).sum(-1) * scale  # [Bk,1,nh]
         score_self = score_self.transpose(0, 2, 1)[:, :, :, None]   # [Bk,nh,1,1]
 
         parts = [scores_old, score_self]
@@ -145,9 +157,10 @@ class GPT2Attention(nn.Module):
             B = prefix_k.shape[0]
             K = Bk // B
             P = prefix_k.shape[1]
-            qg = q.reshape(B, K, nh, hd)
+            ph_k = prefix_k.reshape(B, P, nh, hd)
+            qg = qh.reshape(B, K, nh, hd)
             scores_pre = jnp.einsum(
-                "bgnd,bpnd->bgnp", qg, prefix_k,
+                "bgnd,bpnd->bgnp", qg, ph_k,
                 preferred_element_type=jnp.float32).reshape(Bk, nh, 1, P) * scale
             parts = [scores_pre] + parts
             off = P
@@ -155,15 +168,14 @@ class GPT2Attention(nn.Module):
 
         out = 0.0
         if prefix_k is not None:
+            ph_v = prefix_v.reshape(B, P, nh, hd)
             w_pre = w[..., :off].reshape(B, K, nh, off)
             out = jnp.einsum("bgnp,bpnd->bgnd", w_pre.astype(prefix_v.dtype),
-                             prefix_v).reshape(Bk, 1, nh, hd)
+                             ph_v).reshape(Bk, 1, nh, hd)
         w_old = w[..., off:off + S]
         w_self = w[..., off + S]  # [Bk, nh, 1]
         if sel is not None:
-            onehot, _ = sel
-            B = prefix_k.shape[0]
-            K = Bk // B
+            onehot = sel
             vb = v_cache.reshape(B, K, S, nh, hd)
             wsel = (w_old.reshape(B, K, nh, S)[:, :, None, :, :]
                     * onehot[:, :, :, None, :])                  # [B,K,K,nh,S]
@@ -173,14 +185,14 @@ class GPT2Attention(nn.Module):
         else:
             out = out + jnp.einsum("bnqk,bknd->bqnd",
                                    w_old.astype(v_read.dtype), v_read)
-        out = out + w_self.transpose(0, 2, 1)[..., None].astype(v_new.dtype) \
-            * v_new
+        out = out + w_self.transpose(0, 2, 1)[..., None].astype(vh_new.dtype) \
+            * vh_new
 
         # write LAST: final use of the carried cache buffers this iteration
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos,
-                                                      axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos,
-                                                      axis=1)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_new[:, None, :], pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_new[:, None, :], pos, axis=1)
         return (self.c_proj(out.reshape(Bk, 1, self.hidden_dim)),
                 k_cache, v_cache)
 
@@ -214,10 +226,11 @@ class GPT2Block(nn.Module):
         return x, kv
 
     def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
-                    prefix_v=None, ancestry=None):
+                    prefix_v=None, anc_local=None, kernel="xla"):
         y, k_cache, v_cache = self.attn.cached_step(
             self.ln_1(x), k_cache, v_cache, pos,
-            prefix_k=prefix_k, prefix_v=prefix_v, ancestry=ancestry)
+            prefix_k=prefix_k, prefix_v=prefix_v, anc_local=anc_local,
+            kernel=kernel)
         x = x + y
         x = x + self.mlp(self.ln_2(x))
         return x, k_cache, v_cache
@@ -345,12 +358,21 @@ class GPT2Decoder(nn.Module):
 
         prefix = self._prefix_embeds(pooled)
         _, kvs = self.backbone.full(prefix)
+        P = self.prefix_length
+        H = self.config.hidden_dim
+        # flat [*, pos, H] layouts: what both the fused Pallas decode kernel
+        # and the XLA fallback consume (heads split as H = nh * hd views).
+        # The position axis is rounded up to a multiple of 8 — Mosaic DMA
+        # slices on a tiled axis must be 8-aligned; padding rows are never
+        # valid (the s < pos masks exclude them).
+        s_alloc = -(-max_length // 8) * 8
         layers = [
-            {"k": jnp.zeros((B, max_length, nh, hd), dtype=k.dtype),
-             "v": jnp.zeros((B, max_length, nh, hd), dtype=v.dtype)}
+            {"k": jnp.zeros((B, s_alloc, H), dtype=k.dtype),
+             "v": jnp.zeros((B, s_alloc, H), dtype=v.dtype)}
             for (k, v) in kvs
         ]
-        shared = {"layers": [{"pk": k, "pv": v} for (k, v) in kvs]}
+        shared = {"layers": [{"pk": k.reshape(B, P, H),
+                              "pv": v.reshape(B, P, H)} for (k, v) in kvs]}
         # Suffix caches sit under "lazy": beam search leaves them unpermuted
         # (in-place-updatable scan carries) and reorders only an ancestry
         # map that this decoder applies at attention-read time. ``pos``
@@ -358,11 +380,36 @@ class GPT2Decoder(nn.Module):
         return {"lazy": {"layers": layers}, "shared": shared,
                 "pos": jnp.zeros((), dtype=jnp.int32)}
 
+    def _resolve_kernel(self) -> str:
+        """Pick the decode-step implementation (config.decode_kernel).
+
+        "auto" uses the fused Pallas kernel on a single TPU chip and the
+        portable XLA path otherwise (CPU tests; sharded multi-chip decode,
+        where a pallas_call would need shard_map plumbing)."""
+        mode = self.config.decode_kernel
+        if mode == "auto":
+            if jax.default_backend() == "tpu" and jax.device_count() == 1:
+                return "pallas"
+            return "xla"
+        return mode
+
     def step(self, state: Dict[str, Any],
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         pos = state["pos"]
         P = self.prefix_length
+        kernel = self._resolve_kernel()
         ancestry = state["lazy"].get("ancestry")  # set by beam search only
+        anc_local = None
+        if ancestry is not None:
+            Bk = tokens.shape[0]
+            B = state["shared"]["layers"][0]["pk"].shape[0]
+            K = Bk // B
+            anc_local = (ancestry - (jnp.arange(
+                Bk, dtype=ancestry.dtype)[:, None] // K) * K)  # [Bk,L] in 0..K-1
+            s_alloc = state["lazy"]["layers"][0]["k"].shape[1]
+            if anc_local.shape[1] < s_alloc:  # cache axis is 8-aligned
+                anc_local = jnp.pad(
+                    anc_local, ((0, 0), (0, s_alloc - anc_local.shape[1])))
         x = self.backbone.wte(tokens)[:, None, :]
         x = x + self.backbone.wpe((P + pos)[None, None])
         new_layers = []
@@ -371,7 +418,8 @@ class GPT2Decoder(nn.Module):
                                      state["shared"]["layers"]):
             x, k_cache, v_cache = block.cached_step(
                 x, cache["k"], cache["v"], pos,
-                prefix_k=pre["pk"], prefix_v=pre["pv"], ancestry=ancestry)
+                prefix_k=pre["pk"], prefix_v=pre["pv"], anc_local=anc_local,
+                kernel=kernel)
             new_layers.append({"k": k_cache, "v": v_cache})
         hidden = self.backbone.ln_f(x)
         logits = self.backbone.logits(hidden[:, 0])

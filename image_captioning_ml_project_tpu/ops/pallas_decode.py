@@ -1,0 +1,340 @@
+"""Fused beam-decode attention step kernel (Pallas TPU).
+
+The KV-cached GPT-2 beam decode is the framework's headline perf path
+(reference hot loop being replaced: src/models/decoders.py:461-491 re-ran
+the full prefix per token; src/models/decoders.py:645-654 delegated to HF
+``generate``). The XLA formulation of one decode step — score the query
+against a shared per-image prefix, an ancestry-selected beam suffix cache,
+and the step's own K/V, then append to the cache — is dominated by memory
+traffic XLA will not eliminate (measured, scripts/bench_cache_variants.py):
+
+* ``dynamic_update_slice`` on a scan-carried cache is **never in place** on
+  this toolchain — every append copies the full 9.8 MB buffer (15.8 ms/run
+  for the writes alone across 24 caches x 19 steps);
+* the lazy-ancestry beam read needs either a permuted cache copy
+  (take_along_axis) or a one-hot select over beam candidates, both of which
+  more than double the step cost (65 ms vs 28 ms for a plain read).
+
+This kernel does the whole read-score-mix-append in one pass per layer:
+
+* caches stay in **HBM** (``memory_space=ANY``) and are input/output
+  **aliased** — the new K/V row is DMA'd into place; nothing is copied;
+* the block of cache rows a grid cell needs is DMA'd to VMEM **once** and
+  every derived quantity (candidate scores, softmax, weighted values) lives
+  only in VMEM;
+* per-head score/value reductions ride the MXU via a block-diagonal
+  head-mask matrix (``[H, nh]``), avoiding per-head lane slicing;
+* the beam-ancestry select is K cheap bf16 select passes over the VMEM
+  block (each (row, position) keeps the candidate its ancestry names);
+  scoring and value-weighting then run single-pass.
+
+Numerics match the XLA path in ``models.gpt2.GPT2Attention.cached_step``:
+bf16 products, f32 accumulation/softmax, weights cast back to the value
+dtype before mixing (tests/test_pallas_decode.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
+            kc_in, vc_in,
+            out_ref, kc_out, vc_out,
+            kvm, vvm, sems,
+            *, K: int, NH: int, S: int, P: int, H: int,
+            G: int, R: int, scale: float, precise: bool = True):
+    """One grid cell: G images x K beams = R rows of the decode step.
+
+    pos_ref   [1]            SMEM (scalar prefetch): suffix write position
+    q_ref     [R, H]         query rows (bf16/f32, model dtype)
+    knew_ref  [R, 1, H]      this step's key rows
+    vnew_ref  [R, 1, H]      this step's value rows
+    anc_ref   [R, S, 1]      int32 local ancestry in [0, K)
+    pk_ref    [G, P, H]      shared prefix keys (per image)
+    pv_ref    [G, P, H]      shared prefix values
+    kc_in/vc_in   [Bk, S, H] full caches in HBM (ANY); S % 8 == 0
+    out_ref   [R, H]         attention output rows
+    kc_out/vc_out            aliased with kc_in/vc_in
+    kvm/vvm   [R, S, H]      VMEM scratch for this cell's cache rows
+    """
+    cell = pl.program_id(0)
+    row0 = cell * R
+    pos = pos_ref[0]
+
+    load_k = pltpu.make_async_copy(kc_in.at[pl.ds(row0, R)], kvm, sems.at[0])
+    load_v = pltpu.make_async_copy(vc_in.at[pl.ds(row0, R)], vvm, sems.at[1])
+    load_k.start()
+    load_v.start()
+
+    dt = q_ref.dtype
+    # precise=True: f32 score products — products of two bf16 values are
+    # exact in f32, matching the XLA path's MXU bf16-in/f32-accumulate
+    # einsums bit-for-bit. precise=False: bf16 products (each product
+    # rounded to bf16 before the f32-accumulating dot) — ~2x less VPU
+    # traffic, relative score error <= 2^-8.
+    sdt = jnp.float32 if precise else dt
+    q = q_ref[:].astype(sdt)                       # [R, H]
+    knew = knew_ref[:, 0, :]                       # [R, H]
+
+    # Block-diagonal head mask: hmask[d, n] = 1 iff lane d belongs to head n.
+    # Per-head reductions become MXU dots against it — no lane slicing.
+    hd = H // NH
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, NH), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (H, NH), 1)
+    hmask = (lane // hd == head).astype(sdt)              # [H, NH]
+    hmask_t = (lane // hd == head).astype(jnp.float32).T  # [NH, H]
+
+    def head_sums(prod):
+        """[.., H] f32 elementwise products -> per-head sums [.., NH]."""
+        nd = prod.ndim - 1
+        return jax.lax.dot_general(
+            prod, hmask, dimension_numbers=(((nd,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def expand(wpart):
+        """[.., NH] head weights -> [.., H] lane-replicated f32 weights.
+        Exact: each output is one (bf16-rounded) weight times 1.0."""
+        nd = wpart.ndim - 1
+        return jax.lax.dot_general(
+            wpart.astype(jnp.float32), hmask_t,
+            dimension_numbers=(((nd,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # --- self score: q . k_new per head ---------------------------------
+    s_self = head_sums(q * knew.astype(sdt)) * scale   # [R, NH]
+
+    # --- prefix scores: per-image prefix broadcast over K beams ---------
+    q4 = q.reshape(G, K, H)
+    s_pre = head_sums(
+        q4[:, :, None, :] * pk_ref[:][:, None].astype(sdt)
+    ).reshape(R, P, NH) * scale
+
+    # --- suffix: select each (row, position)'s ancestry candidate ONCE --
+    # (K cheap bf16 select passes; scoring/weighting then run single-pass)
+    load_k.wait()
+    anc = anc_ref[:]                                           # [R, S, 1]
+    anc4 = anc.reshape(G, K, S, 1)
+    kvm4 = kvm[:].reshape(G, K, S, H)
+    k_sel = jnp.zeros((G, K, S, H), dtype=kvm4.dtype)
+    for c in range(K):
+        k_sel = jnp.where(anc4 == c, kvm4[:, c][:, None], k_sel)
+    s_suf = head_sums(
+        q4[:, :, None, :] * k_sel.astype(sdt)
+    ).reshape(R, S, NH) * scale
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (R, S, NH), 1)
+    s_suf = jnp.where(s_ids < pos, s_suf, _NEG_INF)
+
+    # --- softmax over [prefix; suffix; self] -----------------------------
+    scores = jnp.concatenate(
+        [s_pre, s_suf, s_self[:, None, :]], axis=1)            # [R, T, NH]
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    w = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)     # [R, T, NH]
+
+    # --- weighted values --------------------------------------------------
+    acc = jnp.sum(
+        expand(w[:, :P]).reshape(G, K, P, H)
+        * pv_ref[:][:, None].astype(jnp.float32),
+        axis=2).reshape(R, H)
+
+    load_v.wait()
+    vvm4 = vvm[:].reshape(G, K, S, H)
+    v_sel = jnp.zeros((G, K, S, H), dtype=vvm4.dtype)
+    for c in range(K):
+        v_sel = jnp.where(anc4 == c, vvm4[:, c][:, None], v_sel)
+    acc = acc + jnp.sum(
+        expand(w[:, P:P + S]) * v_sel.astype(jnp.float32).reshape(R, S, H),
+        axis=1)
+
+    acc = acc + jnp.sum(
+        expand(w[:, P + S:]) * vnew_ref[:].astype(jnp.float32), axis=1)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+    # --- append this step's K/V in place ---------------------------------
+    # Mosaic DMA slices on the (tiled) position axis must be 8-aligned, so
+    # write the aligned 8-row window containing ``pos``: rows < pos already
+    # hold the loaded (correct) cache values, row pos is this step's K/V,
+    # rows > pos are dead until a future step overwrites them.
+    pos0 = pl.multiple_of((pos // 8) * 8, 8)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (R, 8, H), 1)
+    at_pos = ids == pos - pos0
+    kvm[:, pl.ds(pos0, 8), :] = jnp.where(
+        at_pos, knew_ref[:], kvm[:, pl.ds(pos0, 8), :])
+    vvm[:, pl.ds(pos0, 8), :] = jnp.where(
+        at_pos, vnew_ref[:], vvm[:, pl.ds(pos0, 8), :])
+    put_k = pltpu.make_async_copy(
+        kvm.at[:, pl.ds(pos0, 8), :],
+        kc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[2])
+    put_v = pltpu.make_async_copy(
+        vvm.at[:, pl.ds(pos0, 8), :],
+        vc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[3])
+    put_k.start()
+    put_v.start()
+    put_k.wait()
+    put_v.wait()
+
+
+def fused_beam_decode_attention(
+        q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
+        k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+        prefix_k: jnp.ndarray, prefix_v: jnp.ndarray,
+        anc_local: Optional[jnp.ndarray], pos: jnp.ndarray,
+        *, num_heads: int, beam_size: int, scale: float,
+        block_images: int = 8, precise: bool = True,
+        interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused decode-attention step over all beam rows.
+
+    q/k_new/v_new [Bk, H]; k_cache/v_cache [Bk, S, H] (updated in place at
+    suffix position ``pos``; **S must be a multiple of 8** — Mosaic DMA
+    slices on the tiled position axis are 8-aligned, so callers allocate the
+    cache rounded up and mask positions >= max_length, which the s < pos
+    mask already does); prefix_k/v [B, P, H] with B = Bk // beam_size;
+    anc_local [Bk, S] int32 in [0, beam_size) (None = identity, e.g. greedy).
+
+    Returns (attention_out [Bk, H], k_cache, v_cache). The returned caches
+    alias the inputs — callers must treat the inputs as consumed (standard
+    scan-carry usage).
+    """
+    Bk, H = q.shape
+    S = k_cache.shape[1]
+    K = beam_size
+    B = Bk // K
+    P = prefix_k.shape[1]
+    NH = num_heads
+    if S % 8:
+        raise ValueError(f"cache position axis must be 8-aligned, got {S}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    G = min(block_images, B)
+    while B % G:
+        G -= 1
+    R = G * K
+
+    if anc_local is None:
+        anc = jnp.zeros((Bk, S, 1), dtype=jnp.int32)
+    else:
+        anc = anc_local.astype(jnp.int32)[:, :, None]
+
+    kernel = functools.partial(
+        _kernel, K=K, NH=NH, S=S, P=P, H=H, G=G, R=R, scale=scale,
+        precise=precise)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((R, H), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # q
+            pl.BlockSpec((R, 1, H), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # k_new
+            pl.BlockSpec((R, 1, H), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # v_new
+            pl.BlockSpec((R, S, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # anc
+            pl.BlockSpec((G, P, H), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # prefix_k
+            pl.BlockSpec((G, P, H), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # prefix_v
+            pl.BlockSpec(memory_space=pl.ANY),           # k_cache
+            pl.BlockSpec(memory_space=pl.ANY),           # v_cache
+        ],
+        out_specs=[
+            pl.BlockSpec((R, H), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # out
+            pl.BlockSpec(memory_space=pl.ANY),           # k_cache (alias)
+            pl.BlockSpec(memory_space=pl.ANY),           # v_cache (alias)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, S, H), k_cache.dtype),
+            pltpu.VMEM((R, S, H), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    out, k_cache, v_cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bk, H), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # inputs are indexed with the scalar-prefetch operand first:
+        # 0=pos, 1=q, 2=k_new, 3=v_new, 4=anc, 5=pk, 6=pv, 7=kc, 8=vc
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(jnp.asarray(pos, dtype=jnp.int32).reshape(1),
+      q, k_new[:, None, :], v_new[:, None, :], anc, prefix_k, prefix_v,
+      k_cache, v_cache)
+    return out, k_cache, v_cache
+
+
+def reference_beam_decode_attention(
+        q, k_new, v_new, k_cache, v_cache, prefix_k, prefix_v,
+        anc_local, pos, *, num_heads: int, beam_size: int, scale: float):
+    """Pure-jnp oracle for the kernel (same dtype discipline); test-only."""
+    Bk, H = q.shape
+    S = k_cache.shape[1]
+    NH = num_heads
+    hd = H // NH
+    K = beam_size
+    B = Bk // K
+    P = prefix_k.shape[1]
+    if anc_local is None:
+        anc_local = jnp.zeros((Bk, S), dtype=jnp.int32)
+
+    qh = q.reshape(Bk, NH, hd).astype(jnp.float32)
+    kh_new = k_new.reshape(Bk, NH, hd).astype(jnp.float32)
+    s_self = (qh * kh_new).sum(-1) * scale                     # [Bk, NH]
+
+    pkh = prefix_k.reshape(B, P, NH, hd).astype(jnp.float32)
+    qg = qh.reshape(B, K, NH, hd)
+    s_pre = jnp.einsum("bqnd,bpnd->bqpn", qg, pkh).reshape(
+        Bk, P, NH) * scale
+
+    kcb = k_cache.reshape(B, K, S, NH, hd).astype(jnp.float32)
+    s_all = jnp.einsum("bqnd,bcsnd->bqcsn", qg, kcb)           # [B,K,K,S,NH]
+    onehot = (anc_local.reshape(B, K, 1, S)
+              == jnp.arange(K)[None, None, :, None])
+    s_suf = jnp.where(onehot[..., None], s_all, 0.0).sum(axis=2)
+    s_suf = s_suf.reshape(Bk, S, NH) * scale
+    s_suf = jnp.where(
+        (jnp.arange(S) < pos)[None, :, None], s_suf, _NEG_INF)
+
+    scores = jnp.concatenate(
+        [s_pre, s_suf, s_self[:, None, :]], axis=1)
+    w = jax.nn.softmax(scores, axis=1)
+
+    dt = v_cache.dtype
+    pvh = prefix_v.reshape(B, P, NH, hd)
+    w_pre = w[:, :P].astype(dt).reshape(B, K, P, NH)
+    out = jnp.einsum("bqpn,bpnd->bqnd", w_pre.astype(jnp.float32),
+                     pvh.astype(jnp.float32)).reshape(Bk, NH, hd)
+    vcb = v_cache.reshape(B, K, S, NH, hd)
+    w_suf = w[:, P:P + S].astype(dt).reshape(B, K, S, NH)
+    w_sel = jnp.where(onehot[..., None], w_suf[:, :, None], 0.0)  # [B,K,K,S,NH]
+    out = out + jnp.einsum(
+        "bqcsn,bcsnd->bqnd", w_sel.astype(jnp.float32),
+        vcb.astype(jnp.float32)).reshape(Bk, NH, hd)
+    vh_new = v_new.reshape(Bk, NH, hd)
+    out = out + (w[:, P + S:].astype(dt).astype(jnp.float32).transpose(0, 2, 1)
+                 * vh_new.astype(jnp.float32))
+    out = out.reshape(Bk, H).astype(q.dtype)
+
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        k_cache, k_new[:, None, :], pos, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        v_cache, v_new[:, None, :], pos, axis=1)
+    return out, k_cache, v_cache

@@ -116,11 +116,64 @@ def main():
             cache, qb, (t, 0, 0, 0, 0))
         return cache, out
 
+    # F: current gpt2.cached_step pattern — flat [Bk, S, nh, hd] cache read
+    #    through a (B, K, ...) reshape + beam one-hot select, DUS on the flat
+    #    layout. Tests whether the reshape view defeats XLA's in-place DUS.
+    K = 5
+    B = Bk // K
+
+    def body_f(caches, q, t):
+        out = jnp.zeros((Bk, NH, HD), jnp.float32)
+        onehot = jnp.eye(K, dtype=jnp.float32)[None, :, :, None].repeat(
+            B, axis=0)  # [B, K, K, 1] identity-ancestry stand-in
+        qg = q.reshape(B, K, NH, HD)
+        new = []
+        for c in caches:
+            cb = c.reshape(B, K, S, NH, HD)
+            scores = jnp.einsum("bqnd,bcsnd->bqcns", qg, cb,
+                                preferred_element_type=jnp.float32)
+            sel = jnp.where(onehot[..., None] > 0, scores, 0.0).sum(axis=2)
+            w = sel.reshape(Bk, NH, S)
+            wsel = (w.reshape(B, K, NH, S)[:, :, None]
+                    * onehot[..., None])
+            out = out + jnp.einsum(
+                "bqcns,bcsnd->bqnd", wsel.astype(DT), cb,
+                preferred_element_type=jnp.float32).reshape(Bk, NH, HD)
+            c = jax.lax.dynamic_update_slice_in_dim(
+                c, q[:, None], t, axis=1)
+            new.append(c)
+        return new, out
+
+    # G: native 5-D beam cache [B, K, S, nh, hd] — one-hot read without any
+    #    reshape of the cache; DUS at axis 2.
+    def init_g():
+        return [jnp.zeros((B, K, S, NH, HD), DT) for _ in range(NL)]
+
+    def body_g(caches, q, t):
+        out = jnp.zeros((Bk, NH, HD), jnp.float32)
+        onehot = jnp.eye(K, dtype=jnp.float32)[None, :, :, None].repeat(
+            B, axis=0)
+        qg = q.reshape(B, K, NH, HD)
+        new = []
+        for cb in caches:
+            scores = jnp.einsum("bqnd,bcsnd->bqcns", qg, cb,
+                                preferred_element_type=jnp.float32)
+            sel = jnp.where(onehot[..., None] > 0, scores, 0.0)
+            out = out + jnp.einsum(
+                "bqcns,bcsnd->bqnd", sel.astype(DT), cb,
+                preferred_element_type=jnp.float32).reshape(Bk, NH, HD)
+            cb = jax.lax.dynamic_update_slice(
+                cb, qg[:, :, None], (0, 0, t, 0, 0))
+            new.append(cb)
+        return new, out
+
     run_variant("A: [Bk,S,nh,hd] DUS ax1 + read", init_a, body_a)
     run_variant("B: [S,Bk,nh,hd] DUS ax0 + read", init_b, body_b)
     run_variant("C: [Bk,S,nh,hd] DUS only (no read)", init_a, body_c)
     run_variant("D: merged [NL,Bk,S,nh,hd] one DUS + read", init_d, body_d)
     run_variant("E: merged [S,NL,Bk,nh,hd] one DUS + read", init_e, body_e)
+    run_variant("F: flat cache, reshape+onehot read + DUS", init_a, body_f)
+    run_variant("G: native 5D [B,K,S,nh,hd] onehot + DUS", init_g, body_g)
 
 
 if __name__ == "__main__":
