@@ -15,6 +15,7 @@ back to CPU with smaller shapes so the script always works).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -44,7 +45,7 @@ def build_flagship(on_tpu: bool):
         c.model.decoder.num_layers = 12
         c.model.decoder.num_heads = 12
         c.model.vocab_size = 50257
-        batch = 64
+        batch = int(os.environ.get("BENCH_BATCH", "64"))
     else:  # CPU smoke path
         c.model.encoder.hidden_size = 64
         c.model.encoder.num_layers = 2

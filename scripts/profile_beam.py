@@ -111,7 +111,43 @@ def main():
 
         run = lambda: np.asarray(prog(variables, images))
     else:
-        raise SystemExit("train profiling lives in scripts/bench_train.py")
+        from image_captioning_ml_project_tpu.train.trainer import (
+            CaptioningTrainer)
+
+        c.training.batch_size = batch if not on_tpu else 32
+        c.training.use_amp = True
+        c.model.decoder.max_length = 50
+
+        class _Empty:
+            examples: list = []
+
+            def __len__(self):
+                return 0
+
+        class _Tok:
+            vocab_size = c.model.vocab_size
+            pad_token_id, bos_token_id, eos_token_id = 0, 1, 2
+
+            def __len__(self):
+                return self.vocab_size
+
+            def decode(self, ids, skip_special_tokens=True):
+                return ""
+
+        trainer = CaptioningTrainer(c, _Empty(), _Empty(), _Tok())
+        nprng = np.random.RandomState(0)
+        bsz = c.training.batch_size
+        timages = jnp.asarray(nprng.randint(
+            0, 255, (bsz, c.image_size, c.image_size, 3)).astype(np.uint8))
+        tcaps = jnp.asarray(nprng.randint(
+            3, c.model.vocab_size, (bsz, c.model.decoder.max_length)
+        ).astype(np.int32))
+        key = jax.random.PRNGKey(0)
+
+        def run():
+            trainer.state, m = trainer._train_step(
+                trainer.state, timages, tcaps, key)
+            return float(m["total_loss"])
 
     run()  # compile + warmup
     t0 = time.perf_counter()

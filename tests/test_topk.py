@@ -66,3 +66,41 @@ def test_under_jit_and_scan(rng):
     out = np.asarray(f(x))
     want = np.asarray(jax.lax.top_k(x.reshape(16, 20000), 4)[0]).reshape(8, 2, 4)
     np.testing.assert_array_equal(out, want)
+
+
+def test_fused_beam_top_k_matches_bruteforce(rng):
+    """Candidate top-k over raw logits + per-row bias must equal the
+    materialized live+log-style sum, including lowest-index tie order and
+    min-length EOS suppression (the beam hot path never materializes the
+    vocab-sized sum)."""
+    from image_captioning_ml_project_tpu.ops.topk import fused_beam_top_k
+
+    B, K, V, eos = 3, 5, 9001, 2
+    logits = jnp.asarray(rng.randn(B * K, V).astype(np.float32))
+    # force exact ties across beams and blocks
+    logits = logits.at[:, 100].set(7.25)
+    bias = jnp.zeros((B * K,))
+    for suppress in (False, True):
+        vals, idx = fused_beam_top_k(
+            logits, bias, K, 2 * K, suppress_token=eos,
+            suppress=jnp.asarray(suppress))
+        total = np.asarray(logits).reshape(B, K * V).copy()
+        if suppress:
+            total.reshape(B, K, V)[:, :, eos] = -np.inf
+        order = np.argsort(-total, axis=1, kind="stable")[:, :2 * K]
+        np.testing.assert_array_equal(np.asarray(idx), order)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.take_along_axis(total, order, axis=1),
+            rtol=1e-6, atol=1e-6)
+
+
+def test_fused_beam_top_k_bias_reorders(rng):
+    """Per-row bias must compete across the beams of one image."""
+    from image_captioning_ml_project_tpu.ops.topk import fused_beam_top_k
+
+    B, K, V = 2, 3, 6000
+    logits = jnp.asarray(rng.randn(B * K, V).astype(np.float32))
+    bias = jnp.asarray(np.repeat([[0.0, -1e9, -1e9]], B, axis=0).reshape(-1))
+    _, idx = fused_beam_top_k(logits, bias, K, K)
+    # all winners must come from beam 0 of each image (others are -inf'd)
+    assert (np.asarray(idx) // V == 0).all()
