@@ -97,13 +97,24 @@ def main():
                            min_length=c.inference.min_length).tokens
 
     # compile + warmup (np.asarray forces a host fetch: under the axon
-    # tunnel block_until_ready does not actually block)
-    np.asarray(caption_batch(variables, images))
+    # tunnel block_until_ready does not actually block, and fetching only
+    # the last of several *independent* dispatches may not force the
+    # earlier ones — so iterations are chained through a zero-valued
+    # token-derived perturbation and timed at steady state)
+    toks = caption_batch(variables, images)
+    np.asarray(toks)
+    # warm the chained form too (the first call whose input depends on a
+    # prior output triggers a one-off ~2 s re-specialization on this stack)
+    imgs = images + (toks[:1, :1].astype(jnp.float32) * 0).reshape(1, 1, 1, 1)
+    np.asarray(caption_batch(variables, imgs))
 
-    iters = 5 if on_tpu else 2
+    iters = 20 if on_tpu else 2
     t0 = time.perf_counter()
-    outs = [caption_batch(variables, images) for _ in range(iters)]
-    np.asarray(outs[-1])
+    for _ in range(iters):
+        toks = caption_batch(variables, imgs)
+        imgs = images + (toks[:1, :1].astype(jnp.float32) * 0
+                         ).reshape(1, 1, 1, 1)
+    np.asarray(toks)
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt

@@ -10,6 +10,7 @@ Usage: python scripts/bench_train.py [batch_size]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -57,14 +58,25 @@ def main():
     ).astype(np.int32))
 
     key = jax.random.PRNGKey(0)
-    trainer.state, m = trainer._train_step(trainer.state, images, caps, key)
-    float(m["total_loss"])  # force
+    mask = caps != 0
 
-    iters = 10 if on_tpu else 2
+    def force(state):
+        """Fetch a param leaf. Over the axon tunnel a metrics-scalar fetch
+        returns without forcing the full update chain (measured: chained
+        steps "finish" in under one step's device time); only fetching an
+        array that depends on every step gives a real wall-clock bound."""
+        return np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+
+    trainer.state, m = trainer._train_step(
+        trainer.state, images, caps, mask, key)
+    force(trainer.state)
+
+    iters = int(os.environ.get("BT_ITERS", "30")) if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        trainer.state, m = trainer._train_step(trainer.state, images, caps, key)
-    float(m["total_loss"])
+        trainer.state, m = trainer._train_step(
+            trainer.state, images, caps, mask, key)
+    force(trainer.state)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

@@ -144,9 +144,11 @@ def main():
         ).astype(np.int32))
         key = jax.random.PRNGKey(0)
 
+        tmask = tcaps != 0
+
         def run():
             trainer.state, m = trainer._train_step(
-                trainer.state, timages, tcaps, key)
+                trainer.state, timages, tcaps, tmask, key)
             return float(m["total_loss"])
 
     run()  # compile + warmup
