@@ -161,7 +161,9 @@ def sample_decode(step_fn, init_state, rng: jax.Array, batch_size: int,
     def body(carry, rng_t):
         state, current, cur_logp, cur_active, done, t = carry
         logits, state = step_fn(state, current)
-        logits = logits / temperature
+        # f32 log-probs regardless of model dtype: the per-token logprobs
+        # feed REINFORCE sums (and the f32 scan carry)
+        logits = logits.astype(jnp.float32) / temperature
         logits = jnp.where(
             (t < min_length) & (jnp.arange(logits.shape[-1]) == eos_token_id)[None, :],
             _NEG_INF, logits)

@@ -64,16 +64,31 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     kc_in/vc_in   [Bk, S, H] full caches in HBM (ANY); S % 8 == 0
     out_ref   [R, H]         attention output rows
     kc_out/vc_out            aliased with kc_in/vc_in
-    kvm/vvm   [R, S, H]      VMEM scratch for this cell's cache rows
+    kvm/vvm   [2, R, S, H]   double-buffered VMEM scratch: cell i computes
+                             from slot i%2 while cell i+1's cache rows
+                             stream into the other slot
     """
     cell = pl.program_id(0)
+    ncells = pl.num_programs(0)
     row0 = cell * R
     pos = pos_ref[0]
+    slot = cell % 2
 
-    load_k = pltpu.make_async_copy(kc_in.at[pl.ds(row0, R)], kvm, sems.at[0])
-    load_v = pltpu.make_async_copy(vc_in.at[pl.ds(row0, R)], vvm, sems.at[1])
-    load_k.start()
-    load_v.start()
+    def start_load(c, sl):
+        r0 = c * R
+        pltpu.make_async_copy(
+            kc_in.at[pl.ds(r0, R)], kvm.at[sl], sems.at[sl, 0]).start()
+        pltpu.make_async_copy(
+            vc_in.at[pl.ds(r0, R)], vvm.at[sl], sems.at[sl, 1]).start()
+
+    @pl.when(cell == 0)
+    def _():
+        start_load(0, 0)
+
+    load_k = pltpu.make_async_copy(
+        kc_in.at[pl.ds(row0, R)], kvm.at[slot], sems.at[slot, 0])
+    load_v = pltpu.make_async_copy(
+        vc_in.at[pl.ds(row0, R)], vvm.at[slot], sems.at[slot, 1])
 
     dt = q_ref.dtype
     # precise=True: f32 score products — products of two bf16 values are
@@ -121,9 +136,16 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     # --- suffix: select each (row, position)'s ancestry candidate ONCE --
     # (K cheap bf16 select passes; scoring/weighting then run single-pass)
     load_k.wait()
+    load_v.wait()
+
+    # prefetch the next cell's cache rows while this cell computes
+    @pl.when(cell + 1 < ncells)
+    def _():
+        start_load(cell + 1, 1 - slot)
+
     anc = anc_ref[:]                                           # [R, S, 1]
     anc4 = anc.reshape(G, K, S, 1)
-    kvm4 = kvm[:].reshape(G, K, S, H)
+    kvm4 = kvm[slot].reshape(G, K, S, H)
     k_sel = jnp.zeros((G, K, S, H), dtype=kvm4.dtype)
     for c in range(K):
         k_sel = jnp.where(anc4 == c, kvm4[:, c][:, None], k_sel)
@@ -146,8 +168,7 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
         * pv_ref[:][:, None].astype(jnp.float32),
         axis=2).reshape(R, H)
 
-    load_v.wait()
-    vvm4 = vvm[:].reshape(G, K, S, H)
+    vvm4 = vvm[slot].reshape(G, K, S, H)
     v_sel = jnp.zeros((G, K, S, H), dtype=vvm4.dtype)
     for c in range(K):
         v_sel = jnp.where(anc4 == c, vvm4[:, c][:, None], v_sel)
@@ -167,18 +188,20 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     pos0 = pl.multiple_of((pos // 8) * 8, 8)
     ids = jax.lax.broadcasted_iota(jnp.int32, (R, 8, H), 1)
     at_pos = ids == pos - pos0
-    kvm[:, pl.ds(pos0, 8), :] = jnp.where(
-        at_pos, knew_ref[:], kvm[:, pl.ds(pos0, 8), :])
-    vvm[:, pl.ds(pos0, 8), :] = jnp.where(
-        at_pos, vnew_ref[:], vvm[:, pl.ds(pos0, 8), :])
+    kvm[slot, :, pl.ds(pos0, 8), :] = jnp.where(
+        at_pos, knew_ref[:], kvm[slot, :, pl.ds(pos0, 8), :])
+    vvm[slot, :, pl.ds(pos0, 8), :] = jnp.where(
+        at_pos, vnew_ref[:], vvm[slot, :, pl.ds(pos0, 8), :])
     put_k = pltpu.make_async_copy(
-        kvm.at[:, pl.ds(pos0, 8), :],
-        kc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[2])
+        kvm.at[slot, :, pl.ds(pos0, 8), :],
+        kc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[slot, 2])
     put_v = pltpu.make_async_copy(
-        vvm.at[:, pl.ds(pos0, 8), :],
-        vc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[3])
+        vvm.at[slot, :, pl.ds(pos0, 8), :],
+        vc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[slot, 3])
     put_k.start()
     put_v.start()
+    # the puts must land before this slot's buffer is reloaded two cells
+    # from now, and before the host sees the aliased caches at kernel end
     put_k.wait()
     put_v.wait()
 
@@ -256,9 +279,9 @@ def fused_beam_decode_attention(
             pl.BlockSpec(memory_space=pl.ANY),           # v_cache (alias)
         ],
         scratch_shapes=[
-            pltpu.VMEM((R, S, H), k_cache.dtype),
-            pltpu.VMEM((R, S, H), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, R, S, H), k_cache.dtype),
+            pltpu.VMEM((2, R, S, H), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
 
