@@ -262,6 +262,42 @@ class ViTLayer(nn.Module):
         return x + y
 
 
+class PatchEmbed(nn.Module):
+    """Stride-P patch embedding as space-to-depth + one MXU matmul.
+
+    Numerically identical to the HF patch convolution (kernel == stride,
+    VALID padding) but avoids the C=3 NHWC conv whose input tiles use
+    3/128 lanes on TPU. The parameter keeps the flax conv kernel layout
+    ``(P, P, C, H)`` under the same ``kernel``/``bias`` names, so HF weight
+    ports (hf_port) and existing checkpoints are untouched: the patch
+    vector is flattened in (kh, kw, c) order, matching the kernel reshape
+    ``(P*P*C, H)``.
+    """
+
+    hidden_size: int
+    patch_size: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        B, Hi, Wi, C = images.shape
+        P = self.patch_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (P, P, C, self.hidden_size))
+        gh, gw = Hi // P, Wi // P
+        x = images[:, :gh * P, :gw * P]  # conv-VALID drops the remainder
+        x = x.reshape(B, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, gh, gw, P * P * C).astype(self.dtype)
+        y = jnp.dot(x, kernel.reshape(P * P * C, self.hidden_size)
+                    .astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.hidden_size,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ViTBackbone(nn.Module):
     """HF ViTModel-compatible: patch conv + CLS + learned pos embeddings,
     pre-LN encoder, final LayerNorm, tanh pooler on CLS."""
@@ -278,9 +314,8 @@ class ViTBackbone(nn.Module):
     def __call__(self, images):
         B = images.shape[0]
         h = self.hidden_size
-        x = nn.Conv(h, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=self.dtype, name="patch_embed")(images)
+        x = PatchEmbed(h, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(images)
         x = x.reshape(B, -1, h)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, h))
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (B, 1, h)), x], axis=1)
@@ -373,10 +408,8 @@ class CLIPVisionBackbone(nn.Module):
     def __call__(self, images):
         B = images.shape[0]
         h = self.hidden_size
-        x = nn.Conv(h, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", use_bias=False, dtype=self.dtype,
-                    name="patch_embed")(images)
+        x = PatchEmbed(h, self.patch_size, use_bias=False, dtype=self.dtype,
+                       name="patch_embed")(images)
         x = x.reshape(B, -1, h)
         cls = self.param("class_embedding", nn.initializers.zeros, (h,))
         x = jnp.concatenate(

@@ -182,9 +182,9 @@ class SwinBackbone(nn.Module):
     @nn.compact
     def __call__(self, images):
         B = images.shape[0]
-        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=self.dtype, name="patch_embed")(images)
+        from .encoders import PatchEmbed
+        x = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(images)
         res = x.shape[1]
         x = x.reshape(B, -1, self.embed_dim)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="embed_norm")(x)
