@@ -115,8 +115,11 @@ class DecoderConfig:
     gpt2_n_positions: int = 1024
     # KV-cached decode step implementation: "auto" picks the fused Pallas
     # kernel (ops/pallas_decode.py) on a single TPU chip and the XLA one-hot
-    # path otherwise (CPU tests, sharded multi-chip decode); "pallas"/"xla"
-    # force a path ("pallas" off-TPU runs the kernel in interpreter mode).
+    # path otherwise; "pallas"/"xla" force a path ("pallas" off-TPU runs the
+    # kernel in interpreter mode). Explicit "pallas" is also valid for
+    # dp-sharded decode: GSPMD partitions the batch-parallel kernel cleanly
+    # (tests/test_parallel.py dp8 token-parity); "auto" stays conservative
+    # on multi-chip until validated on real multi-chip TPU hardware.
     decode_kernel: str = "auto"
 
 

@@ -153,3 +153,49 @@ def test_tp_sharded_checkpoint_roundtrip(tmp_path, rng):
         # restored arrays keep the TP shardings provided by the target
     specs = [l.sharding for l in jax.tree_util.tree_leaves(restored)]
     assert all(len(s.device_set) == 8 for s in specs)
+
+
+def test_dp8_beam_decode_pallas_kernel_token_identical(rng):
+    """The fused Pallas decode kernel (interpreter on this CPU mesh; the
+    same code Mosaic compiles on TPU) under a dp8-sharded batch must be
+    token-identical to the single-device XLA path: GSPMD partitions the
+    kernel's batch-parallel grid cleanly, so explicitly setting
+    decode_kernel="pallas" is safe on sharded decodes too."""
+    from image_captioning_ml_project_tpu.config import DecoderConfig
+    from image_captioning_ml_project_tpu.inference.decoding import beam_search
+    from image_captioning_ml_project_tpu.models.gpt2 import GPT2Decoder
+
+    def build(kernel):
+        cfg = DecoderConfig(hidden_dim=16, num_layers=2, num_heads=2,
+                            max_length=12, prefix_length=3,
+                            gpt2_n_positions=32, decode_kernel=kernel)
+        return GPT2Decoder(config=cfg, vocab_size=32, pad_token_id=0,
+                           bos_token_id=1, eos_token_id=2, feature_dim=16)
+
+    B, L = 8, 10
+    pooled = jnp.asarray(rng.randn(B, 16).astype(np.float32))
+    dec_x = build("xla")
+    variables = dec_x.init(jax.random.PRNGKey(0),
+                           {"pooled_features": pooled},
+                           jnp.zeros((B, 4), jnp.int32))
+
+    def run(dec, feats_in):
+        cache = dec.apply(variables, feats_in, L, method=dec.init_cache)
+
+        def step_fn(s, toks):
+            return dec.apply(variables, s, toks, method=dec.step)
+
+        return beam_search(step_fn, cache, B, 5, 1, 2, 0, L,
+                           length_penalty=0.8, min_length=2)
+
+    res_single = jax.jit(lambda f: run(dec_x, f))({"pooled_features": pooled})
+
+    dec_p = build("pallas")
+    mesh = create_mesh(MeshConfig())  # dp8
+    pooled_sharded = jax.device_put(pooled, batch_sharding(mesh, 2))
+    res_dp8 = jax.jit(lambda f: run(dec_p, f))(
+        {"pooled_features": pooled_sharded})
+    np.testing.assert_array_equal(np.asarray(res_dp8.tokens),
+                                  np.asarray(res_single.tokens))
+    np.testing.assert_allclose(np.asarray(res_dp8.scores),
+                               np.asarray(res_single.scores), rtol=1e-4)
