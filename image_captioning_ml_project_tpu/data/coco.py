@@ -337,33 +337,89 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
                     drop_last: bool = True,
                     sampler: Optional[Iterator[int]] = None,
                     seed: int = 0,
-                    pad_last: bool = False) -> Iterator[Dict[str, Any]]:
+                    pad_last: bool = False,
+                    num_workers: int = 0) -> Iterator[Dict[str, Any]]:
     """Yield fixed-shape batches. ``sampler`` (e.g. the curriculum sampler)
     overrides shuffling (reference: src/data/dataset.py:445-462).
 
     ``pad_last=True`` pads the final short batch by repeating its last
     sample (static shapes for XLA) and adds a ``batch_valid`` bool mask so
-    eval loops can cover every example without recompilation."""
+    eval loops can cover every example without recompilation.
+
+    ``num_workers > 0`` loads samples through a fork-based process pool —
+    the equivalent of the reference's torch DataLoader workers
+    (reference: src/data/dataset.py:452). PIL decode barely scales with
+    threads on this stack (measured: 16 threads gave 1.1x), so workers are
+    processes inheriting the dataset via fork. Worker tasks reseed the
+    dataset's augmentation RNG per sample from ``(seed, index)``, torch
+    DataLoader style: results are deterministic for a given ``seed`` and
+    independent of the worker count (callers already mix the epoch into
+    ``seed``, so augmentations still vary across epochs)."""
     if sampler is not None:
         indices = list(sampler)
     else:
         indices = list(range(len(dataset)))
         if shuffle:
             np.random.RandomState(seed).shuffle(indices)
-    for start in range(0, len(indices), batch_size):
-        chunk = indices[start:start + batch_size]
-        valid = len(chunk)
-        if valid < batch_size:
+
+    pool = None
+    if num_workers and num_workers > 0:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        _set_ds(dataset)  # inherited by workers via fork
+        pool = ProcessPoolExecutor(
+            max_workers=num_workers, mp_context=mp.get_context("fork"))
+    try:
+        for start in range(0, len(indices), batch_size):
+            chunk = indices[start:start + batch_size]
+            valid = len(chunk)
+            if valid < batch_size:
+                if pad_last:
+                    chunk = chunk + [chunk[-1]] * (batch_size - valid)
+                elif drop_last:
+                    return
+            tasks = [(i, (seed * 1_000_003 + i) & 0x7FFFFFFF)
+                     for i in chunk]
+            if pool is not None:
+                samples = list(pool.map(
+                    _worker_get, tasks,
+                    chunksize=max(1, len(tasks) // num_workers)))
+            else:
+                # same per-sample seeding as the worker path, so batches are
+                # identical for any worker count (incl. 0)
+                _set_ds(dataset)
+                samples = [_worker_get(t) for t in tasks]
+            batch = collate(samples)
             if pad_last:
-                chunk = chunk + [chunk[-1]] * (batch_size - valid)
-            elif drop_last:
-                return
-        batch = collate([dataset[i] for i in chunk])
-        if pad_last:
-            mask = np.zeros(batch_size, dtype=bool)
-            mask[:valid] = True
-            batch["batch_valid"] = mask
-        yield batch
+                mask = np.zeros(batch_size, dtype=bool)
+                mask[:valid] = True
+                batch["batch_valid"] = mask
+            yield batch
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+_WORKER_DATASET = None
+
+
+def _set_ds(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(task):
+    """Fetch one sample with a per-sample augmentation RNG.
+
+    Used by both the serial path and the forked process-pool workers (each
+    worker runs tasks single-threaded, so reseeding its copy of the
+    dataset RNG per task is race-free)."""
+    idx, sample_seed = task
+    ds = _WORKER_DATASET
+    if getattr(ds, "rng", None) is not None:
+        ds.rng = np.random.RandomState(sample_seed)
+    return ds[idx]
 
 
 def build_coco_datasets(config, tokenizer):

@@ -31,6 +31,7 @@ def evaluate_model_on_coco(
     batch_size: int = 32,
     results_file: str = "results.json",
     annotation_file: Optional[str] = None,
+    num_workers: int = 0,
 ) -> Dict[str, float]:
     """``decode_batch_fn(batch) -> tokens [B, L]`` (a jitted decode over the
     batch's images/features). ``dataset`` must be an eval-mode dataset
@@ -41,7 +42,8 @@ def evaluate_model_on_coco(
     generated, references, image_ids = [], [], []
 
     for batch in iterate_batches(dataset, batch_size, shuffle=False,
-                                 drop_last=False, pad_last=True):
+                                 drop_last=False, pad_last=True,
+                                 num_workers=num_workers):
         tokens = np.asarray(decode_batch_fn(batch))
         valid = batch.get("batch_valid", np.ones(len(tokens), dtype=bool))
         for i in range(len(tokens)):

@@ -240,7 +240,8 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
     dp = trainer.mesh.shape.get(config.mesh.data_axis, 1)
     batch_size = -(-ic.num_candidates // dp) * dp
     it = iterate_batches(val_ds, batch_size,
-                         shuffle=False, drop_last=False, pad_last=True)
+                         shuffle=False, drop_last=False, pad_last=True,
+                         num_workers=config.num_workers)
     for batch in prefetch(it, mesh=trainer.mesh,
                           data_axis=config.mesh.data_axis):
         tokens = decode_batch(trainer.state, trainer._batch_inputs(batch))

@@ -476,7 +476,8 @@ class CaptioningTrainer:
             if self.curriculum_sampler is not None else None,
             # fresh shuffle every epoch (torch DataLoader(shuffle=True)
             # semantics); the curriculum sampler handles its own epoching
-            seed=self.config.seed + epoch)
+            seed=self.config.seed + epoch,
+            num_workers=self.config.num_workers)
         return prefetch(it, mesh=self.mesh,
                         data_axis=self.config.mesh.data_axis)
 
@@ -653,7 +654,8 @@ class CaptioningTrainer:
         # covering every val image (reference iterates all batches,
         # src/train/trainer.py:506)
         it = iterate_batches(self.val_dataset, batch_size, shuffle=False,
-                             drop_last=False, pad_last=True)
+                             drop_last=False, pad_last=True,
+                             num_workers=self.config.num_workers)
         for batch in prefetch(it, mesh=self.mesh,
                               data_axis=self.config.mesh.data_axis):
             first_ref = batch["caption_tokens"][:, 0, :]

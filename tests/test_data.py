@@ -160,3 +160,21 @@ def test_build_coco_datasets(coco_root, vocab):
     train, val = build_coco_datasets(cfg, vocab)
     assert train.is_training and not val.is_training
     assert len(train) > len(val)
+
+
+def test_iterate_batches_worker_count_invariant(coco_root, vocab):
+    """Batches are bit-identical for any num_workers (0, 2): sample
+    augmentation RNG is seeded per (seed, index), torch-DataLoader style,
+    in both the serial path and the fork-based process pool."""
+    ds = COCOCaptionDataset(
+        root_dir=coco_root,
+        annotation_file="annotations/captions_train2014.json",
+        image_dir="train2014", tokenizer=vocab, image_size=24, max_length=12,
+        is_training=True)
+    a = list(iterate_batches(ds, 4, shuffle=True, seed=3, num_workers=0))
+    b = list(iterate_batches(ds, 4, shuffle=True, seed=3, num_workers=2))
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["image"], bb["image"])
+        np.testing.assert_array_equal(ba["caption_tokens"],
+                                      bb["caption_tokens"])
