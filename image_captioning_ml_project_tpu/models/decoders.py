@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import AttentionConfig, DecoderConfig, DecoderType
+from ..ops.pallas_decode import fused_beam_decode_attention
 from .attention import build_attention
 from .lstm import StackedLSTM
 
@@ -300,11 +301,13 @@ class TransformerDecoderLayer(nn.Module):
 
     def init_layer_cache(self, memory, max_length):
         B = memory.shape[0]
-        nh = self.num_heads
-        hd = self.hidden_dim // nh
+        # flat [B, pos, H] layout shared by the fused Pallas decode kernel
+        # and the XLA fallback; position axis rounded up to a multiple of 8
+        # (Mosaic DMA alignment; the s < pos masks exclude padding rows)
+        s_alloc = -(-max_length // 8) * 8
         return {
-            "k": jnp.zeros((B, max_length, nh, hd), dtype=memory.dtype),
-            "v": jnp.zeros((B, max_length, nh, hd), dtype=memory.dtype),
+            "k": jnp.zeros((B, s_alloc, self.hidden_dim), dtype=memory.dtype),
+            "v": jnp.zeros((B, s_alloc, self.hidden_dim), dtype=memory.dtype),
         }
 
     def init_memory_cache(self, memory):
@@ -334,46 +337,71 @@ class TransformerDecoderLayer(nn.Module):
             out.reshape(Bk, 1, self.hidden_dim))
 
     def cached_step(self, x, cache, pos, mem, memory_key_padding_mask=None,
-                    ancestry=None):
-        """x [Bk, 1, H]; self-KV written at ``pos`` *last* (final buffer use
-        in the scan iteration → in-place update), the new entry scored
-        directly; ``ancestry`` applies lazy beam reorder at read time;
-        cross-attention memory comes from the shared subtree ``mem``."""
+                    anc_local=None, kernel="xla"):
+        """x [Bk, 1, H]; self-KV cached flat [Bk, S, H] and written at
+        ``pos``; ``anc_local`` [Bk, S] int32 in [0, K) applies lazy beam
+        reorder at read time; cross-attention memory comes from the shared
+        subtree ``mem``.
+
+        ``kernel="pallas"`` routes the self-attention read-score-mix-append
+        through :func:`..ops.pallas_decode.fused_beam_decode_attention`
+        (prefix-free mode) — XLA copies the whole cache on every append on
+        this toolchain, the kernel updates it in place."""
         sa = self.self_attn
-        q = sa._heads(sa.q_proj(x))
-        k_new = sa._heads(sa.k_proj(x))
-        v_new = sa._heads(sa.v_proj(x))
-        hd = q.shape[-1]
+        xf = x[:, 0, :]
+        q = sa.q_proj(xf)
+        k_new = sa.k_proj(xf)
+        v_new = sa.v_proj(xf)
+        nh = self.num_heads
+        hd = self.hidden_dim // nh
         scale = 1.0 / (hd ** 0.5)
-        Bk = x.shape[0]
-
+        Bk = xf.shape[0]
         k_cache, v_cache = cache["k"], cache["v"]
-        if ancestry is not None:
-            idx = ancestry[:, :, None, None]
-            k_read = jnp.take_along_axis(k_cache, idx, axis=0)
-            v_read = jnp.take_along_axis(v_cache, idx, axis=0)
-        else:
-            k_read, v_read = k_cache, v_cache
-
-        scores_old = jnp.einsum("bqnd,bknd->bnqk", q, k_read,
-                                preferred_element_type=jnp.float32) * scale
         S = k_cache.shape[1]
-        scores_old = jnp.where((jnp.arange(S) < pos)[None, None, None, :],
-                               scores_old, _NEG_INF)
-        score_self = (q.astype(jnp.float32)
-                      * k_new.astype(jnp.float32)).sum(-1) * scale
-        score_self = score_self.transpose(0, 2, 1)[:, :, :, None]
-        w = jax.nn.softmax(
-            jnp.concatenate([scores_old, score_self], axis=-1), axis=-1)
-        out = jnp.einsum("bnqk,bknd->bqnd",
-                         w[..., :S].astype(v_read.dtype), v_read)
-        out = out + w[..., S].transpose(0, 2, 1)[..., None].astype(
-            v_new.dtype) * v_new
-        y = sa.out_proj(out.reshape(Bk, 1, self.hidden_dim))
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos,
-                                                      axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos,
-                                                      axis=1)
+        B = mem["mem_k"].shape[0]
+        K = Bk // B
+
+        if kernel == "pallas":
+            out, k_cache, v_cache = fused_beam_decode_attention(
+                q, k_new, v_new, k_cache, v_cache, None, None, anc_local,
+                pos, num_heads=nh, beam_size=K, scale=scale)
+            y = sa.out_proj(out)[:, None, :]
+        else:
+            qh = q.reshape(Bk, 1, nh, hd)
+            kh_new = k_new.reshape(Bk, 1, nh, hd)
+            vh_new = v_new.reshape(Bk, 1, nh, hd)
+            if anc_local is not None:
+                idx = (anc_local
+                       + (jnp.arange(Bk, dtype=anc_local.dtype)[:, None]
+                          // K) * K)[:, :, None, None]
+                k_read = jnp.take_along_axis(
+                    k_cache.reshape(Bk, S, nh, hd), idx, axis=0)
+                v_read = jnp.take_along_axis(
+                    v_cache.reshape(Bk, S, nh, hd), idx, axis=0)
+            else:
+                k_read = k_cache.reshape(Bk, S, nh, hd)
+                v_read = v_cache.reshape(Bk, S, nh, hd)
+
+            scores_old = jnp.einsum("bqnd,bknd->bnqk", qh, k_read,
+                                    preferred_element_type=jnp.float32) * scale
+            scores_old = jnp.where(
+                (jnp.arange(S) < pos)[None, None, None, :],
+                scores_old, _NEG_INF)
+            score_self = (qh.astype(jnp.float32)
+                          * kh_new.astype(jnp.float32)).sum(-1) * scale
+            score_self = score_self.transpose(0, 2, 1)[:, :, :, None]
+            w = jax.nn.softmax(
+                jnp.concatenate([scores_old, score_self], axis=-1), axis=-1)
+            out = jnp.einsum("bnqk,bknd->bqnd",
+                             w[..., :S].astype(v_read.dtype), v_read)
+            out = out + w[..., S].transpose(0, 2, 1)[..., None].astype(
+                vh_new.dtype) * vh_new
+            y = sa.out_proj(out.reshape(Bk, 1, self.hidden_dim))
+            # write LAST: final buffer use in the scan iteration
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k_new[:, None, :], pos, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v_new[:, None, :], pos, axis=1)
 
         x = self.norm1(x + y)
         y = self._cross_attend_shared(x, mem["mem_k"], mem["mem_v"],
@@ -462,8 +490,22 @@ class TransformerDecoder(nn.Module):
 
     def step(self, state: Dict[str, Any],
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        from ..ops.pallas_decode import resolve_decode_kernel
+
         pos = state["pos"]
+        kernel = resolve_decode_kernel(self.config.decode_kernel)
         ancestry = state["lazy"].get("ancestry")  # set by beam search only
+        anc_local = None
+        if ancestry is not None:
+            Bk = tokens.shape[0]
+            B = state["shared"]["layers"][0]["mem_k"].shape[0]
+            K = Bk // B
+            anc_local = (ancestry - (jnp.arange(
+                Bk, dtype=ancestry.dtype)[:, None] // K) * K)
+            s_alloc = state["lazy"]["layers"][0]["k"].shape[1]
+            if anc_local.shape[1] < s_alloc:  # cache axis is 8-aligned
+                anc_local = jnp.pad(
+                    anc_local, ((0, 0), (0, s_alloc - anc_local.shape[1])))
         x = self.embedding(tokens)[:, None, :]
         x = x + self.position_encoding(pos[None, None])
         new_caches = []
@@ -472,7 +514,7 @@ class TransformerDecoder(nn.Module):
             x, cache = layer.cached_step(
                 x, cache, pos, mem,
                 memory_key_padding_mask=state["shared"]["mem_pad"],
-                ancestry=ancestry)
+                anc_local=anc_local, kernel=kernel)
             new_caches.append(cache)
         logits = self.output_layer(x[:, 0])
         new_lazy = dict(state["lazy"], layers=new_caches)

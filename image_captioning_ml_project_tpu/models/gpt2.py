@@ -381,17 +381,9 @@ class GPT2Decoder(nn.Module):
                 "pos": jnp.zeros((), dtype=jnp.int32)}
 
     def _resolve_kernel(self) -> str:
-        """Pick the decode-step implementation (config.decode_kernel).
+        from ..ops.pallas_decode import resolve_decode_kernel
 
-        "auto" uses the fused Pallas kernel on a single TPU chip and the
-        portable XLA path otherwise (CPU tests; sharded multi-chip decode,
-        where a pallas_call would need shard_map plumbing)."""
-        mode = self.config.decode_kernel
-        if mode == "auto":
-            if jax.default_backend() == "tpu" and jax.device_count() == 1:
-                return "pallas"
-            return "xla"
-        return mode
+        return resolve_decode_kernel(self.config.decode_kernel)
 
     def step(self, state: Dict[str, Any],
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:

@@ -46,12 +46,28 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e9
 
 
+def resolve_decode_kernel(mode: str) -> str:
+    """Map DecoderConfig.decode_kernel to a concrete step implementation.
+
+    "auto" uses the fused Pallas kernel on a single TPU chip and the
+    portable XLA path otherwise (CPU tests; sharded multi-chip decode --
+    explicit "pallas" is validated for dp-sharded decode too, see
+    tests/test_parallel.py, but auto stays conservative until real
+    multi-chip TPU hardware has been exercised)."""
+    if mode == "auto":
+        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+            return "pallas"
+        return "xla"
+    return mode
+
+
 def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
             kc_in, vc_in,
             out_ref, kc_out, vc_out,
             kvm, vvm, sems,
             *, K: int, NH: int, S: int, P: int, H: int,
-            G: int, R: int, scale: float, precise: bool = True):
+            G: int, R: int, scale: float, precise: bool = True,
+            has_prefix: bool = True):
     """One grid cell: G images x K beams = R rows of the decode step.
 
     pos_ref   [1]            SMEM (scalar prefetch): suffix write position
@@ -128,10 +144,15 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     s_self = head_sums(q * knew.astype(sdt)) * scale   # [R, NH]
 
     # --- prefix scores: per-image prefix broadcast over K beams ---------
+    # (has_prefix=False: the decoder has no soft-prompt prefix — e.g. the
+    # Transformer caption decoder, whose cross-attention runs separately —
+    # and the prefix inputs are 1-token dummies, skipped entirely)
     q4 = q.reshape(G, K, H)
-    s_pre = head_sums(
-        q4[:, :, None, :] * pk_ref[:][:, None].astype(sdt)
-    ).reshape(R, P, NH) * scale
+    Pe = P if has_prefix else 0
+    if has_prefix:
+        s_pre = head_sums(
+            q4[:, :, None, :] * pk_ref[:][:, None].astype(sdt)
+        ).reshape(R, P, NH) * scale
 
     # --- suffix: select each (row, position)'s ancestry candidate ONCE --
     # (K cheap bf16 select passes; scoring/weighting then run single-pass)
@@ -155,29 +176,32 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (R, S, NH), 1)
     s_suf = jnp.where(s_ids < pos, s_suf, _NEG_INF)
 
-    # --- softmax over [prefix; suffix; self] -----------------------------
-    scores = jnp.concatenate(
-        [s_pre, s_suf, s_self[:, None, :]], axis=1)            # [R, T, NH]
+    # --- softmax over [prefix?; suffix; self] ----------------------------
+    parts = ([s_pre] if has_prefix else []) + [s_suf, s_self[:, None, :]]
+    scores = jnp.concatenate(parts, axis=1)                    # [R, T, NH]
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
     w = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)     # [R, T, NH]
 
     # --- weighted values --------------------------------------------------
-    acc = jnp.sum(
-        expand(w[:, :P]).reshape(G, K, P, H)
-        * pv_ref[:][:, None].astype(jnp.float32),
-        axis=2).reshape(R, H)
+    if has_prefix:
+        acc = jnp.sum(
+            expand(w[:, :Pe]).reshape(G, K, P, H)
+            * pv_ref[:][:, None].astype(jnp.float32),
+            axis=2).reshape(R, H)
+    else:
+        acc = jnp.zeros((R, H), jnp.float32)
 
     vvm4 = vvm[slot].reshape(G, K, S, H)
     v_sel = jnp.zeros((G, K, S, H), dtype=vvm4.dtype)
     for c in range(K):
         v_sel = jnp.where(anc4 == c, vvm4[:, c][:, None], v_sel)
     acc = acc + jnp.sum(
-        expand(w[:, P:P + S]) * v_sel.astype(jnp.float32).reshape(R, S, H),
+        expand(w[:, Pe:Pe + S]) * v_sel.astype(jnp.float32).reshape(R, S, H),
         axis=1)
 
     acc = acc + jnp.sum(
-        expand(w[:, P + S:]) * vnew_ref[:].astype(jnp.float32), axis=1)
+        expand(w[:, Pe + S:]) * vnew_ref[:].astype(jnp.float32), axis=1)
     out_ref[:] = acc.astype(out_ref.dtype)
 
     # --- append this step's K/V in place ---------------------------------
@@ -223,6 +247,8 @@ def fused_beam_decode_attention(
     cache rounded up and mask positions >= max_length, which the s < pos
     mask already does); prefix_k/v [B, P, H] with B = Bk // beam_size;
     anc_local [Bk, S] int32 in [0, beam_size) (None = identity, e.g. greedy).
+    ``prefix_k=None`` runs prefix-free (self-attention only, e.g. the
+    Transformer caption decoder whose cross-attention is separate).
 
     Returns (attention_out [Bk, H], k_cache, v_cache). The returned caches
     alias the inputs — callers must treat the inputs as consumed (standard
@@ -232,6 +258,10 @@ def fused_beam_decode_attention(
     S = k_cache.shape[1]
     K = beam_size
     B = Bk // K
+    has_prefix = prefix_k is not None
+    if not has_prefix:
+        prefix_k = jnp.zeros((B, 1, H), dtype=k_cache.dtype)
+        prefix_v = prefix_k
     P = prefix_k.shape[1]
     NH = num_heads
     if S % 8:
@@ -251,7 +281,7 @@ def fused_beam_decode_attention(
 
     kernel = functools.partial(
         _kernel, K=K, NH=NH, S=S, P=P, H=H, G=G, R=R, scale=scale,
-        precise=precise)
+        precise=precise, has_prefix=has_prefix)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -314,6 +344,9 @@ def reference_beam_decode_attention(
     hd = H // NH
     K = beam_size
     B = Bk // K
+    if prefix_k is None:
+        prefix_k = jnp.zeros((B, 0, H), dtype=k_cache.dtype)
+        prefix_v = prefix_k
     P = prefix_k.shape[1]
     if anc_local is None:
         anc_local = jnp.zeros((Bk, S), dtype=jnp.int32)

@@ -133,3 +133,65 @@ def test_gpt2_beam_pallas_matches_xla(tiny_gpt2):
     np.testing.assert_allclose(_np(results["xla"].scores),
                                _np(results["pallas"].scores),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.fixture
+def tiny_transformer():
+    from image_captioning_ml_project_tpu.models.decoders import (
+        TransformerDecoder)
+
+    B, H, V = 4, 16, 29
+    rng = np.random.RandomState(1)
+
+    def build(kernel):
+        dcfg = DecoderConfig(decoder_type=DecoderType.TRANSFORMER,
+                             hidden_dim=H, num_layers=2, num_heads=4,
+                             dropout=0.0, max_length=12,
+                             decode_kernel=kernel)
+        return TransformerDecoder(config=dcfg, vocab_size=V, pad_token_id=0,
+                                  bos_token_id=1, eos_token_id=2)
+
+    feats = {
+        "features": jnp.asarray(rng.randn(B, 7, H).astype(np.float32)),
+        "pooled_features": jnp.asarray(rng.randn(B, H).astype(np.float32)),
+        "attention_mask": jnp.ones((B, 7), dtype=bool),
+    }
+    dec = build("xla")
+    caps = jnp.asarray(rng.randint(3, V, (B, 5)))
+    variables = dec.init(jax.random.PRNGKey(0), feats, caps)
+    return build, variables, feats
+
+
+def test_transformer_step_pallas_matches_xla(tiny_transformer):
+    """Prefix-free kernel mode: the Transformer decoder's self-attention
+    step through the fused kernel equals the XLA path."""
+    build, variables, feats = tiny_transformer
+    dec_x = build("xla")
+    dec_p = build("pallas")
+    L = 10
+    state_x = dec_x.apply(variables, feats, L, method=dec_x.init_cache)
+    state_p = dec_p.apply(variables, feats, L, method=dec_p.init_cache)
+    toks = jnp.asarray([1, 5, 9, 12])
+    for _ in range(4):
+        lx, state_x = dec_x.apply(variables, state_x, toks, method=dec_x.step)
+        lp, state_p = dec_p.apply(variables, state_p, toks, method=dec_p.step)
+        np.testing.assert_allclose(_np(lx), _np(lp), atol=2e-4, rtol=2e-4)
+        toks = jnp.argmax(lx, axis=-1).astype(jnp.int32)
+
+
+def test_transformer_beam_pallas_matches_xla(tiny_transformer):
+    build, variables, feats = tiny_transformer
+    B, L, K = 4, 12, 5
+    results = {}
+    for kernel in ("xla", "pallas"):
+        dec = build(kernel)
+        state = dec.apply(variables, feats, L, method=dec.init_cache)
+
+        def step_fn(s, t, dec=dec):
+            return dec.apply(variables, s, t, method=dec.step)
+
+        results[kernel] = beam_search(
+            step_fn, state, B, K, bos_token_id=1, eos_token_id=2,
+            pad_token_id=0, max_length=L, length_penalty=0.8)
+    np.testing.assert_array_equal(_np(results["xla"].tokens),
+                                  _np(results["pallas"].tokens))
