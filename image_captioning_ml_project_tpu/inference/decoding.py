@@ -258,8 +258,17 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
         fused_path = (G == 1 and V > 4096 and topk_method == "two_stage")
         if fused_path:
             logp = None
-            lse = jax.scipy.special.logsumexp(
-                logits.astype(jnp.float32), axis=-1)           # [B*K]
+            if (jax.default_backend() == "tpu"
+                    and jax.device_count() == 1):
+                # one streaming pass for both reductions (XLA lowers them
+                # as three separate 32 MB reads)
+                from ..ops.pallas_lse import lse_and_block_max
+
+                lse, bmax = lse_and_block_max(logits)
+            else:
+                lse = jax.scipy.special.logsumexp(
+                    logits.astype(jnp.float32), axis=-1)       # [B*K]
+                bmax = None
         else:
             logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
             logp = jnp.where(
@@ -285,7 +294,7 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
                 cand_scores, cand_idx = fused_beam_top_k(
                     logits, row_bias, K, 2 * Kg,
                     suppress_token=eos_token_id,
-                    suppress=(t < min_length))
+                    suppress=(t < min_length), block_max=bmax)
             else:
                 lp = logp[:, g]
                 if G > 1 and diversity_penalty > 0.0:

@@ -105,7 +105,8 @@ def fused_beam_top_k(logits: jnp.ndarray, row_bias: jnp.ndarray,
                      rows_per_group: int, k: int, *,
                      suppress_token: int = -1,
                      suppress=None,
-                     block: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     block: int = 512,
+                     block_max=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over virtual beam-candidate rows without materializing
     any vocab-sized intermediate.
 
@@ -138,11 +139,16 @@ def fused_beam_top_k(logits: jnp.ndarray, row_bias: jnp.ndarray,
     nblk = nfull + (1 if tail else 0)
 
     main = logits[:, :nfull * block].reshape(R, nfull, block)
-    bm = main.max(axis=-1).astype(jnp.float32)                 # [R, nfull]
-    if tail:
-        bm_tail = logits[:, nfull * block:].max(
-            axis=-1, keepdims=True).astype(jnp.float32)
-        bm = jnp.concatenate([bm, bm_tail], axis=1)            # [R, nblk]
+    if block_max is not None:
+        # precomputed raw (bias-free) per-block maxima — e.g. from the
+        # one-pass ops.pallas_lse.lse_and_block_max kernel
+        bm = block_max.astype(jnp.float32)
+    else:
+        bm = main.max(axis=-1).astype(jnp.float32)             # [R, nfull]
+        if tail:
+            bm_tail = logits[:, nfull * block:].max(
+                axis=-1, keepdims=True).astype(jnp.float32)
+            bm = jnp.concatenate([bm, bm_tail], axis=1)        # [R, nblk]
 
     if suppress is not None and suppress_token >= 0:
         # the suppressed token only perturbs its own block's max

@@ -104,3 +104,38 @@ def test_fused_beam_top_k_bias_reorders(rng):
     _, idx = fused_beam_top_k(logits, bias, K, K)
     # all winners must come from beam 0 of each image (others are -inf'd)
     assert (np.asarray(idx) // V == 0).all()
+
+
+def test_lse_and_block_max_kernel(rng):
+    """One-pass streaming logsumexp + block maxima (interpreter mode; the
+    same kernel Mosaic compiles for the TPU beam candidate step)."""
+    from image_captioning_ml_project_tpu.ops.pallas_lse import (
+        lse_and_block_max)
+
+    x = jnp.asarray(rng.randn(12, 9001).astype(np.float32)) * 4
+    lse, bm = lse_and_block_max(x, interpret=True)
+    want_lse = jax.scipy.special.logsumexp(x, axis=-1)
+    nblk = -(-9001 // 512)
+    xp = jnp.pad(x, ((0, 0), (0, nblk * 512 - 9001)),
+                 constant_values=-1e30)
+    want_bm = xp.reshape(12, nblk, 512).max(-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bm), np.asarray(want_bm))
+
+
+def test_fused_beam_top_k_with_precomputed_block_max(rng):
+    from image_captioning_ml_project_tpu.ops.pallas_lse import (
+        lse_and_block_max)
+    from image_captioning_ml_project_tpu.ops.topk import fused_beam_top_k
+
+    B, K, V = 2, 4, 9001
+    logits = jnp.asarray(rng.randn(B * K, V).astype(np.float32))
+    bias = jnp.asarray(rng.randn(B * K).astype(np.float32))
+    _, bm = lse_and_block_max(logits, interpret=True)
+    v1, i1 = fused_beam_top_k(logits, bias, K, 2 * K, suppress_token=2,
+                              suppress=jnp.asarray(True))
+    v2, i2 = fused_beam_top_k(logits, bias, K, 2 * K, suppress_token=2,
+                              suppress=jnp.asarray(True), block_max=bm)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
