@@ -387,9 +387,14 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
                     chunksize=max(1, len(tasks) // num_workers)))
             else:
                 # same per-sample seeding as the worker path, so batches are
-                # identical for any worker count (incl. 0)
-                _set_ds(dataset)
-                samples = [_worker_get(t) for t in tasks]
+                # identical for any worker count (incl. 0); no module global
+                # here — interleaved serial iterators stay independent
+                reseed = getattr(dataset, "rng", None) is not None
+                samples = []
+                for i, sample_seed in tasks:
+                    if reseed:
+                        dataset.rng = np.random.RandomState(sample_seed)
+                    samples.append(dataset[i])
             batch = collate(samples)
             if pad_last:
                 mask = np.zeros(batch_size, dtype=bool)
