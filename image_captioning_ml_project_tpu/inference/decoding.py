@@ -270,7 +270,13 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
                     logits.astype(jnp.float32), axis=-1)       # [B*K]
                 bmax = None
         else:
-            logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+            # f32 log-probs regardless of model dtype: bf16 log_softmax
+            # quantizes logp to ~0.03 (8 mantissa bits at magnitude ~10),
+            # which accumulates to ~0.35 over a 20-token beam — the fused
+            # path below is f32 end-to-end, and so is the reference's
+            # decode math
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
             logp = jnp.where(
                 (t < min_length)
                 & (jnp.arange(V) == eos_token_id)[None, None, :],
