@@ -170,14 +170,17 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     k_sel = jnp.zeros((G, K, S, H), dtype=kvm4.dtype)
     for c in range(K):
         k_sel = jnp.where(anc4 == c, kvm4[:, c][:, None], k_sel)
-    s_suf = head_sums(
-        q4[:, :, None, :] * k_sel.astype(sdt)
-    ).reshape(R, S, NH) * scale
+    # flatten to one [R*S, H] x [H, NH] MXU dot (free reshape: S % 8 == 0;
+    # a 4D-lhs dot_general loops the leading dims into R tiny dots)
+    prod_suf = (q4[:, :, None, :] * k_sel.astype(sdt)).reshape(R * S, H)
+    s_suf = head_sums(prod_suf).reshape(R, S, NH) * scale
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (R, S, NH), 1)
     s_suf = jnp.where(s_ids < pos, s_suf, _NEG_INF)
 
-    # --- softmax over [prefix?; suffix; self] ----------------------------
-    parts = ([s_pre] if has_prefix else []) + [s_suf, s_self[:, None, :]]
+    # --- softmax over [suffix; prefix?; self] ----------------------------
+    # suffix first: its weight slice w[:, :S] stays sublane-aligned (the
+    # S-at-offset-P slice cost ~4 ms/scan when prefix led the concat)
+    parts = [s_suf] + ([s_pre] if has_prefix else []) + [s_self[:, None, :]]
     scores = jnp.concatenate(parts, axis=1)                    # [R, T, NH]
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -186,7 +189,7 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     # --- weighted values --------------------------------------------------
     if has_prefix:
         acc = jnp.sum(
-            expand(w[:, :Pe]).reshape(G, K, P, H)
+            expand(w[:, S:S + P]).reshape(G, K, P, H)
             * pv_ref[:][:, None].astype(jnp.float32),
             axis=2).reshape(R, H)
     else:
@@ -196,12 +199,14 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     v_sel = jnp.zeros((G, K, S, H), dtype=vvm4.dtype)
     for c in range(K):
         v_sel = jnp.where(anc4 == c, vvm4[:, c][:, None], v_sel)
+    w_suf_flat = w[:, :S].reshape(R * S, NH)
     acc = acc + jnp.sum(
-        expand(w[:, Pe:Pe + S]) * v_sel.astype(jnp.float32).reshape(R, S, H),
+        expand(w_suf_flat).reshape(R, S, H)
+        * v_sel.astype(jnp.float32).reshape(R, S, H),
         axis=1)
 
     acc = acc + jnp.sum(
-        expand(w[:, Pe + S:]) * vnew_ref[:].astype(jnp.float32), axis=1)
+        expand(w[:, S + Pe:]) * vnew_ref[:].astype(jnp.float32), axis=1)
     out_ref[:] = acc.astype(out_ref.dtype)
 
     # --- append this step's K/V in place ---------------------------------
