@@ -148,11 +148,17 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     # Transformer caption decoder, whose cross-attention runs separately —
     # and the prefix inputs are 1-token dummies, skipped entirely)
     q4 = q.reshape(G, K, H)
-    Pe = P if has_prefix else 0
+    P8 = -(-P // 8) * 8  # pad the prefix axis so its dots flatten to 2D
+    Pe = P8 if has_prefix else 0
     if has_prefix:
-        s_pre = head_sums(
-            q4[:, :, None, :] * pk_ref[:][:, None].astype(sdt)
-        ).reshape(R, P, NH) * scale
+        prod_pre = q4[:, :, None, :] * pk_ref[:][:, None].astype(sdt)
+        if P8 != P:
+            prod_pre = jnp.pad(
+                prod_pre, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
+        s_pre = head_sums(prod_pre.reshape(R * P8, H)).reshape(
+            R, P8, NH) * scale
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, P8, NH), 1)
+        s_pre = jnp.where(p_ids < P, s_pre, _NEG_INF)
 
     # --- suffix: select each (row, position)'s ancestry candidate ONCE --
     # (K cheap bf16 select passes; scoring/weighting then run single-pass)
@@ -188,9 +194,13 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
 
     # --- weighted values --------------------------------------------------
     if has_prefix:
+        pv = pv_ref[:]
+        if P8 != P:
+            pv = jnp.pad(pv, ((0, 0), (0, P8 - P), (0, 0)))
+        w_pre_flat = w[:, S:S + P8].reshape(R * P8, NH)
         acc = jnp.sum(
-            expand(w[:, S:S + P]).reshape(G, K, P, H)
-            * pv_ref[:][:, None].astype(jnp.float32),
+            expand(w_pre_flat).reshape(G, K, P8, H)
+            * pv[:, None].astype(jnp.float32),
             axis=2).reshape(R, H)
     else:
         acc = jnp.zeros((R, H), jnp.float32)
