@@ -367,9 +367,14 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
-        _set_ds(dataset)  # inherited by workers via fork
+        # Bind THIS dataset to the pool at construction: with the fork
+        # context, ``initargs`` is a live reference held by the executor, so
+        # even a lazily-forked worker (ProcessPoolExecutor spawns workers on
+        # demand) calls _set_ds(dataset) in the child — two concurrently
+        # consumed iterators can't cross-wire through a shared global.
         pool = ProcessPoolExecutor(
-            max_workers=num_workers, mp_context=mp.get_context("fork"))
+            max_workers=num_workers, mp_context=mp.get_context("fork"),
+            initializer=_set_ds, initargs=(dataset,))
     try:
         for start in range(0, len(indices), batch_size):
             chunk = indices[start:start + batch_size]

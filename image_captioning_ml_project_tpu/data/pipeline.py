@@ -47,22 +47,46 @@ def prefetch(iterator: Iterator[Dict[str, Any]], mesh: Optional[Mesh] = None,
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
     err: list = []
+    # Abandonment-safe: if the consumer stops iterating mid-epoch (break out
+    # of the batch loop), the generator's finally sets `stop`, the producer
+    # unblocks from its bounded put, and the wrapped iterator is close()d so
+    # its own finally runs (iterate_batches shuts down its worker pool).
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(shard_batch(batch, mesh, data_axis))
+                if not _put(shard_batch(batch, mesh, data_axis)):
+                    break
         except Exception as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(_END)
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
+            _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

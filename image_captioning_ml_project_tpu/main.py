@@ -191,13 +191,15 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
     if checkpoint_path:
         trainer.load_checkpoint(checkpoint_path)
 
+    rerank_enabled = config.inference.use_clip_reranking
     if (config.model.encoder.encoder_type == EncoderType.OBJECT_REGION
             or config.model.encoder.use_object_features) \
-            and config.inference.use_clip_reranking:
+            and rerank_enabled:
         logger.warning("CLIP reranking needs raw images; the object-region "
                        "pipeline carries detector features only — skipping")
-        config.inference.use_clip_reranking = False
-    reranker = _resolve_reranker(config, tokenizer, reranker)
+        rerank_enabled = False
+    reranker = (_resolve_reranker(config, tokenizer, reranker)
+                if rerank_enabled else None)
 
     mc = config.model
     ic = config.inference

