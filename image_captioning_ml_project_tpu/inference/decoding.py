@@ -203,7 +203,8 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
                 min_length: int = 0, num_beam_groups: int = 1,
                 diversity_penalty: float = 0.0,
                 return_all: bool = False,
-                topk_method: str = "two_stage") -> BeamResult:
+                topk_method: str = "two_stage",
+                hf_compat: bool = True) -> BeamResult:
     """Batched (diverse) beam search with KV cache, fully jit-compatible.
 
     ``init_state`` is the *untiled* [B, ...] decode state; it is tiled to
@@ -212,6 +213,25 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
     g's token logprobs are penalized by ``diversity_penalty * count`` of the
     tokens groups < g chose at the same step. One model call per step for
     all beams; only candidate selection is sequential over groups.
+
+    ``hf_compat=True`` (default) replicates two HF ``generate`` beam-search
+    behaviors so the flagship GPT-2 decode is token-identical to the
+    reference's ``model.generate`` (reference:
+    src/models/decoders.py:645-654; verified against transformers 4.57 in
+    tests/test_hf_beam_parity.py):
+
+    * a hypothesis may only *finish* if its EOS candidate ranks within the
+      top ``num_beams`` of the step's ``2 * num_beams`` candidates (HF's
+      ``top_num_beam_mask`` in ``_update_finished_beams``);
+    * per batch (and group), once all K finished slots are occupied and the
+      best running beam normalized *at its current length* cannot beat the
+      worst finished score, the finished set is frozen and live beams are
+      excluded from the final merge (HF's ``early_stopping=False``
+      stop heuristic, ``_check_early_stop_heuristic``).
+
+    ``hf_compat=False`` drops both rules: any of the 2K candidates may
+    finish and the search always runs to ``max_length`` — a strictly wider
+    search (used by the brute-force-oracle tests).
     """
     B, K, V_total = batch_size, beam_size, None
     G = num_beam_groups
@@ -237,9 +257,10 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
 
     fin_seqs = jnp.full((B, K, L), pad_token_id, dtype=jnp.int32)
     fin_scores = jnp.full((B, K), _NEG_INF)
+    stopped = jnp.zeros((B, G), dtype=bool)  # hf_compat early-stop freeze
 
     def body(carry, t):
-        state, sequences, live_scores, fin_seqs, fin_scores = carry
+        state, sequences, live_scores, fin_seqs, fin_scores, stopped = carry
         if isinstance(state, dict) and "lazy" in state:
             # position t-1 is being written this step by each slot itself
             anc = state["lazy"]["ancestry"]
@@ -321,6 +342,13 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
             # finished candidates: normalized score
             norm = cand_scores / (t.astype(jnp.float32) ** length_penalty)
             fin_cand_scores = jnp.where(is_eos, norm, _NEG_INF)
+            if hf_compat:
+                # HF: only the top num_beams of the 2K candidates may
+                # finish, and a stopped batch's finished set is frozen
+                rank_ok = jnp.arange(2 * Kg)[None, :] < Kg
+                fin_cand_scores = jnp.where(
+                    rank_ok & ~stopped[:, g][:, None],
+                    fin_cand_scores, _NEG_INF)
             # candidate sequences (with EOS written at position t)
             cand_seqs = jnp.take_along_axis(
                 seqs_g[:, g], cand_beam[:, :, None], axis=1)
@@ -359,14 +387,33 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
         flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(B * K)
         state = _gather_state(state, flat_idx)
 
-        return (state, sequences, live_scores, fin_seqs, fin_scores), None
+        if hf_compat:
+            # HF early_stopping=False heuristic (after this step's update):
+            # stop once all K finished slots are filled and the best running
+            # beam, optimistically normalized at its CURRENT generated
+            # length t, cannot beat the worst finished score.
+            fin_g = fin_scores.reshape(B, G, Kg)
+            live_g2 = live_scores.reshape(B, G, Kg)
+            all_finished = (fin_g > _NEG_INF / 2).all(axis=2)
+            best_running = (live_g2.max(axis=2)
+                            / (t.astype(jnp.float32) ** length_penalty))
+            stopped = stopped | (all_finished
+                                 & (best_running <= fin_g.min(axis=2)))
 
-    carry = (state, sequences, live_scores, fin_seqs, fin_scores)
-    (state, sequences, live_scores, fin_seqs, fin_scores), _ = jax.lax.scan(
-        body, carry, jnp.arange(1, L))
+        return (state, sequences, live_scores, fin_seqs, fin_scores,
+                stopped), None
+
+    carry = (state, sequences, live_scores, fin_seqs, fin_scores, stopped)
+    (state, sequences, live_scores, fin_seqs, fin_scores, stopped), _ = \
+        jax.lax.scan(body, carry, jnp.arange(1, L))
 
     # Merge unfinished live beams (normalized at full length) with finished.
     live_norm = live_scores / (float(L - 1) ** length_penalty)
+    if hf_compat:
+        # a stopped batch returns its frozen finished set only (HF exits
+        # the generation loop; live beams never reach the output)
+        live_norm = jnp.where(
+            jnp.repeat(stopped, Kg, axis=1), _NEG_INF, live_norm)
     all_scores = jnp.concatenate([fin_scores, live_norm], axis=1)   # [B, 2K]
     all_seqs = jnp.concatenate([fin_seqs, sequences], axis=1)       # [B, 2K, L]
     top_scores, top_idx = jax.lax.top_k(all_scores, K)

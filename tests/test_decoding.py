@@ -97,10 +97,12 @@ def test_beam_matches_brute_force(rng, length_penalty, min_length):
     step = make_markov_step(trans)
     B, L = 2, 5
     state = jnp.zeros((B, 1))
+    # hf_compat=False: the oracle enumerates ALL sequences, so the beam must
+    # run the exhaustive variant (no top-K-only finishing, no early stop)
     res = jax.jit(lambda s: beam_search(
         step, s, B, beam_size=V * 2, bos_token_id=BOS, eos_token_id=EOS,
         pad_token_id=PAD, max_length=L, length_penalty=length_penalty,
-        min_length=min_length))(state)
+        min_length=min_length, hf_compat=False))(state)
     want_score, want_seq = brute_force_beam(trans, L, length_penalty, min_length)
     np.testing.assert_allclose(float(res.scores[0]), want_score, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_seq)
