@@ -60,6 +60,11 @@ def build_flagship(on_tpu: bool):
         c.model.vocab_size = 1000
         batch = 8
     c.model.decoder.prefix_length = 10
+    # BENCH_DECODE_KERNEL=xla records the multi-chip fallback figure (the
+    # portable path used when neither one chip nor a decode_mesh context is
+    # active); default "auto" resolves to the fused Pallas kernel on TPU.
+    c.model.decoder.decode_kernel = os.environ.get(
+        "BENCH_DECODE_KERNEL", "auto")
     c.inference.beam_size = 5
     c.inference.max_length = 20
     c.inference.length_penalty = 0.8

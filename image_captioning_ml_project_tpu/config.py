@@ -262,6 +262,11 @@ class Config:
     device: str = "tpu"
     num_workers: int = 4
     seed: int = 42
+    # Device-resident eval preprocessing: host decodes JPEGs onto a fixed
+    # canvas (draft-scaled libjpeg), the antialiased resize + normalization
+    # run on the TPU inside the jitted step (ops/resize.py). Training keeps
+    # the host RandomResizedCrop path regardless.
+    device_resize: bool = False
 
 
 def get_default_config() -> Config:

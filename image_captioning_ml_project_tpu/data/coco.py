@@ -100,6 +100,38 @@ def load_image(path: str, size: int, train: bool,
     return np.asarray(img, dtype=np.uint8)
 
 
+def load_image_square(path: str, target: int, canvas: int):
+    """Decode-only host path for the device-resident resize
+    (ops/resize.resize_normalize): libjpeg decodes at reduced DCT scale
+    (``PIL draft`` — near-free 1/2 / 1/4 / 1/8 scaling), the centered
+    square (the only region the eval transform keeps: resize-shorter-side +
+    center-crop) is cropped as a numpy view, and the result is placed on a
+    fixed ``[canvas, canvas, 3]`` uint8 canvas so batches stay
+    static-shape. Returns (canvas_image, side).
+
+    ``draft`` guarantees the decoded shorter side is >= ``target`` whenever
+    the original is, and < 2*target for DCT-scalable JPEGs, so
+    ``canvas = 2 * target`` always fits; non-JPEG or tiny images fall back
+    to a host downscale to the canvas.
+    """
+    img = Image.open(path)
+    img.draft("RGB", (target, target))
+    img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    side = min(h, w)
+    top, left = (h - side) // 2, (w - side) // 2
+    sq = arr[top:top + side, left:left + side]
+    if side > canvas:  # non-JPEG (draft no-op) or extreme input: host assist
+        sq = np.asarray(
+            Image.fromarray(sq).resize((canvas, canvas), Image.BILINEAR),
+            dtype=np.uint8)
+        side = canvas
+    out = np.zeros((canvas, canvas, 3), dtype=np.uint8)
+    out[:side, :side] = sq
+    return out, np.int32(side)
+
+
 # ---------------------------------------------------------------------------
 # Dataset
 # ---------------------------------------------------------------------------
@@ -119,6 +151,7 @@ class COCOCaptionDataset:
         is_training: bool = True,
         max_ref_captions: int = 5,
         seed: int = 0,
+        device_resize: bool = False,
     ):
         self.root_dir = root_dir
         self.image_dir = os.path.join(root_dir, image_dir)
@@ -129,6 +162,17 @@ class COCOCaptionDataset:
         self.is_training = is_training
         self.max_ref_captions = max_ref_captions
         self.rng = np.random.RandomState(seed)
+        # device-resident preprocessing (eval only): the host just decodes
+        # (draft-scaled libjpeg) onto a fixed canvas; the antialiased resize
+        # + normalization run on the TPU (ops/resize.py). Training keeps the
+        # host RandomResizedCrop (its 0.08-area crops need full-res pixels).
+        # Canvas = 1.5x target: a draft decode of any <= 3x-target original
+        # (every COCO image at target 224) lands its center square within
+        # it; larger squares take the rare host-assist downscale in
+        # load_image_square. 2x target would be fully assist-free but ships
+        # 1.8x the host->device bytes per image.
+        self.device_resize = device_resize and not is_training
+        self.canvas_size = -(-3 * image_size // 2 // 16) * 16
 
         with open(self.annotation_path) as f:
             self.annotations = json.load(f)
@@ -167,8 +211,14 @@ class COCOCaptionDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         ex = self.examples[idx]
-        image = load_image(os.path.join(self.image_dir, ex["filename"]),
-                           self.image_size, self.is_training, self.rng)
+        path = os.path.join(self.image_dir, ex["filename"])
+        image_side = None
+        if self.device_resize:
+            image, image_side = load_image_square(
+                path, self.image_size, self.canvas_size)
+        else:
+            image = load_image(path, self.image_size, self.is_training,
+                               self.rng)
         if self.is_training:
             ids, mask = self.tokenizer.encode(ex["caption"], self.max_length)
             return {
@@ -187,7 +237,7 @@ class COCOCaptionDataset:
         for i, cap in enumerate(caps):
             ids[i], mask[i] = self.tokenizer.encode(cap, self.max_length)
             ref_mask[i] = 1
-        return {
+        sample = {
             "image": image,
             "caption_tokens": ids,
             "attention_mask": mask,
@@ -195,6 +245,9 @@ class COCOCaptionDataset:
             "captions": ex["captions"],
             "image_id": ex["image_id"],
         }
+        if image_side is not None:
+            sample["image_size"] = image_side
+        return sample
 
     def caption_lengths(self) -> np.ndarray:
         """Token lengths per example (curriculum difficulty input,
@@ -319,7 +372,8 @@ class ObjectDetectionFeaturesDataset:
 # ---------------------------------------------------------------------------
 
 _STACK_KEYS = {"image", "caption_tokens", "attention_mask", "ref_mask",
-               "region_features", "region_boxes", "region_mask", "image_id"}
+               "region_features", "region_boxes", "region_mask", "image_id",
+               "image_size"}
 
 
 def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -454,6 +508,7 @@ def build_coco_datasets(config, tokenizer):
         max_length=config.model.decoder.max_length,
         is_training=False,
         seed=config.seed,
+        device_resize=getattr(config, "device_resize", False),
     )
     return train, val
 

@@ -30,6 +30,8 @@ def make_synthetic_coco(
     image_size: int = 64,
     splits: Optional[List[str]] = None,
     seed: int = 0,
+    image_format: str = "png",
+    size_jitter: int = 0,
 ) -> str:
     """Build a tiny COCO-style dataset under ``root``; returns ``root``.
 
@@ -48,11 +50,15 @@ def make_synthetic_coco(
         ann_id = 1
         for i in range(num_images):
             image_id = (0 if split == "train" else 10_000) + i + 1
-            fname = f"COCO_{split}2014_{image_id:012d}.png"
-            arr = rng.randint(0, 256, (image_size, image_size, 3), dtype=np.uint8)
+            fname = f"COCO_{split}2014_{image_id:012d}.{image_format}"
+            h = image_size + (rng.randint(0, size_jitter + 1)
+                              if size_jitter else 0)
+            w = image_size + (rng.randint(0, size_jitter + 1)
+                              if size_jitter else 0)
+            arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
             Image.fromarray(arr).save(os.path.join(img_dir, fname))
             images.append({"id": image_id, "file_name": fname,
-                           "height": image_size, "width": image_size})
+                           "height": h, "width": w})
             for _ in range(captions_per_image):
                 n = rng.randint(4, 12)
                 caption = " ".join(rng.choice(_WORDS, size=n))

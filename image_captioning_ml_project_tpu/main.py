@@ -246,7 +246,8 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
                          num_workers=config.num_workers)
     for batch in prefetch(it, mesh=trainer.mesh,
                           data_axis=config.mesh.data_axis):
-        tokens = decode_batch(trainer.state, trainer._batch_inputs(batch))
+        with trainer._decode_ctx():
+            tokens = decode_batch(trainer.state, trainer._batch_inputs(batch))
         if reranker is not None:
             tokens = reranker(batch["image"], tokens)
         tokens = np.asarray(tokens)

@@ -78,7 +78,9 @@ def resolve_decode_kernel(mode: str, *, cache_len: Optional[int] = None,
     the VMEM scratch budget) — explicit "pallas" still raises descriptively
     in the kernel wrapper instead of failing opaquely inside Mosaic."""
     if mode == "auto":
-        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        multi_ok = _DECODE_MESH is not None  # shard_map path available
+        if jax.default_backend() == "tpu" and (jax.device_count() == 1
+                                               or multi_ok):
             if (cache_len is not None and width is not None
                     and not fused_decode_supported(cache_len, width, dtype)):
                 return "xla"
@@ -279,6 +281,7 @@ def fused_beam_decode_attention(
         *, num_heads: int, beam_size: int, scale: float,
         block_images: Optional[int] = None, precise: bool = True,
         interpret: Optional[bool] = None,
+        mesh=None, data_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused decode-attention step over all beam rows.
 
@@ -317,6 +320,85 @@ def fused_beam_decode_attention(
             f"its HBM cache DMA slices, got width {H}. Use "
             f"decode_kernel='xla' for narrow (test/demo-size) models.")
 
+    if anc_local is None:
+        anc = jnp.zeros((Bk, S, 1), dtype=jnp.int32)
+    else:
+        anc = anc_local.astype(jnp.int32)[:, :, None]
+
+    exec_fn = functools.partial(
+        _fused_exec, K=K, NH=NH, scale=scale, precise=precise,
+        has_prefix=has_prefix, block_images=block_images,
+        interpret=interpret)
+    pos_arr = jnp.asarray(pos, dtype=jnp.int32).reshape(1)
+    operands = (pos_arr, q, k_new[:, None, :], v_new[:, None, :], anc,
+                prefix_k, prefix_v, k_cache, v_cache)
+
+    mesh_ctx = mesh if mesh is not None else _DECODE_MESH
+    axis = data_axis or (_DECODE_AXIS or "data")
+    if mesh_ctx is not None and mesh_ctx.shape.get(axis, 1) > 1 \
+            and B % mesh_ctx.shape[axis]:
+        raise ValueError(
+            f"fused decode under a {dict(mesh_ctx.shape)} mesh needs the "
+            f"image batch ({B}) divisible by the '{axis}' axis "
+            f"({mesh_ctx.shape[axis]}); round the batch up (pad_last) or "
+            f"use decode_kernel='xla'.")
+    if mesh_ctx is not None and mesh_ctx.shape.get(axis, 1) > 1:
+        # Multi-chip: GSPMD cannot partition a pallas custom call, so run
+        # one shard-local kernel per chip over the data axis — the grid is
+        # image-parallel and beam ancestry is image-local, so each shard's
+        # call is self-contained (no collectives). ``pos`` is replicated.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        bspec = lambda nd: _P(axis, *([None] * (nd - 1)))  # noqa: E731
+        in_specs = (_P(None), bspec(2), bspec(3), bspec(3), bspec(3),
+                    bspec(3), bspec(3), bspec(3), bspec(3))
+        out_specs = (bspec(2), bspec(3), bspec(3))
+        return shard_map(exec_fn, mesh=mesh_ctx, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)(*operands)
+    return exec_fn(*operands)
+
+
+# Trace-time mesh context: Flax decoder modules can't carry a Mesh (it is
+# not config state), so multi-chip call sites wrap their jitted decode in
+# ``decode_mesh(mesh)`` — the context is read while jit traces.
+_DECODE_MESH = None
+_DECODE_AXIS = None
+
+
+class decode_mesh:
+    """Context manager announcing the active device mesh to the fused
+    decode kernel (and to ``resolve_decode_kernel``'s "auto"), enabling the
+    shard_map fast path on dp-sharded multi-chip decodes."""
+
+    def __init__(self, mesh, data_axis: str = "data"):
+        self.mesh, self.axis = mesh, data_axis
+
+    def __enter__(self):
+        global _DECODE_MESH, _DECODE_AXIS
+        self._prev = (_DECODE_MESH, _DECODE_AXIS)
+        _DECODE_MESH, _DECODE_AXIS = self.mesh, self.axis
+        return self
+
+    def __exit__(self, *exc):
+        global _DECODE_MESH, _DECODE_AXIS
+        _DECODE_MESH, _DECODE_AXIS = self._prev
+        return False
+
+
+def _fused_exec(pos_arr, q, k_new3, v_new3, anc, prefix_k, prefix_v,
+                k_cache, v_cache, *, K: int, NH: int, scale: float,
+                precise: bool, has_prefix: bool,
+                block_images: Optional[int], interpret: bool):
+    """Shard-local kernel launch: every static (B, S, P, H, grid, VMEM
+    block) derives from the (possibly shard-local) operand shapes, so the
+    same function serves the single-chip direct call and each shard of the
+    multi-chip shard_map."""
+    Bk, H = q.shape
+    S = k_cache.shape[1]
+    P = prefix_k.shape[1]
+    B = Bk // K
+
     itemsize = jnp.dtype(k_cache.dtype).itemsize
     # Double-buffered K+V scratch footprint: 2 slots x 2 caches x R x S x H.
     scratch_bytes_per_row = 4 * S * H * itemsize
@@ -341,11 +423,6 @@ def fused_beam_decode_attention(
             f"S={S} cache positions x H={H} ({k_cache.dtype}) against a "
             f"{_SCRATCH_VMEM_BUDGET / 2**20:.0f} MiB budget. Use a shorter "
             f"max_length or decode_kernel='xla'.")
-
-    if anc_local is None:
-        anc = jnp.zeros((Bk, S, 1), dtype=jnp.int32)
-    else:
-        anc = anc_local.astype(jnp.int32)[:, :, None]
 
     kernel = functools.partial(
         _kernel, K=K, NH=NH, S=S, P=P, H=H, G=G, R=R, scale=scale,
@@ -396,8 +473,7 @@ def fused_beam_decode_attention(
         input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(jnp.asarray(pos, dtype=jnp.int32).reshape(1),
-      q, k_new[:, None, :], v_new[:, None, :], anc, prefix_k, prefix_v,
+    )(pos_arr, q, k_new3, v_new3, anc, prefix_k, prefix_v,
       k_cache, v_cache)
     return out, k_cache, v_cache
 

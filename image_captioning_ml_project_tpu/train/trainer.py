@@ -138,8 +138,15 @@ class CaptioningTrainer:
 
     def _prepare_inputs(self, inputs):
         """Traced: uint8 images -> normalized floats; region dicts pass
-        through (already float features)."""
+        through (already float features); canvas dicts (device-resident
+        preprocessing) resize + normalize on device (ops/resize.py)."""
         if isinstance(inputs, dict):
+            if "image" in inputs:  # {"image": canvas, "image_size": side}
+                from ..ops.resize import resize_normalize
+
+                return resize_normalize(inputs["image"],
+                                        inputs["image_size"],
+                                        self.config.image_size)
             return inputs
         return normalize_images(inputs)
 
@@ -148,6 +155,9 @@ class CaptioningTrainer:
         if self._object_mode:
             return {k: batch[k] for k in
                     ("region_features", "region_boxes", "region_mask")}
+        if "image_size" in batch:  # device-resize canvas batch
+            return {"image": batch["image"],
+                    "image_size": batch["image_size"]}
         return batch["image"]
 
     def _init_state(self, rng) -> TrainState:
@@ -552,6 +562,16 @@ class CaptioningTrainer:
             return self._train_scst_on_device(epoch, rng)
         return self._train_scst_host_reward(epoch, rng)
 
+    def _decode_ctx(self):
+        """Announce the trainer's mesh to the fused decode kernel so decodes
+        keep the Pallas fast path on dp-sharded multi-chip runs
+        (ops/pallas_decode.decode_mesh; harmless no-op on 1-device meshes).
+        Wraps every call site whose jitted function contains a decode, so
+        the mesh is visible while jit traces."""
+        from ..ops.pallas_decode import decode_mesh
+
+        return decode_mesh(self.mesh, self.config.mesh.data_axis)
+
     def _train_scst_on_device(self, epoch: int, rng):
         """Fused SCST epoch: rollouts + CIDEr rewards + update in one jit."""
         from ..evaluate.cider_device import build_df_table, encode_references
@@ -574,10 +594,11 @@ class CaptioningTrainer:
             refs = [refs_by_id.get(int(iid), [[mc.eos_token_id]])
                     for iid in np.asarray(batch["image_id"])]
             ref_tokens, ref_valid = encode_references(refs, max_refs, ref_len)
-            self.state, metrics = self._scst_fused_step(
-                self.state, self._batch_inputs(batch),
-                jnp.asarray(ref_tokens), jnp.asarray(ref_valid),
-                self._cider_df, step_rng, max_length)
+            with self._decode_ctx():
+                self.state, metrics = self._scst_fused_step(
+                    self.state, self._batch_inputs(batch),
+                    jnp.asarray(ref_tokens), jnp.asarray(ref_valid),
+                    self._cider_df, step_rng, max_length)
             meter.update(**{k: float(v) for k, v in metrics.items()})
             if (i + 1) % self.config.log_every == 0:
                 self.logger.info("SCST batch %d: %s", i + 1, meter)
@@ -590,8 +611,10 @@ class CaptioningTrainer:
         meter = MetricLogger()
         for i, batch in enumerate(self._train_batches(epoch)):
             rng, roll_rng = jax.random.split(rng)
-            sampled, sample_mask, greedy = self._rollout_step(
-                self.state, self._batch_inputs(batch), roll_rng, max_length)
+            with self._decode_ctx():
+                sampled, sample_mask, greedy = self._rollout_step(
+                    self.state, self._batch_inputs(batch), roll_rng,
+                    max_length)
             sample_texts = [self.tokenizer.decode(t, skip_special_tokens=True)
                             for t in np.asarray(sampled)]
             greedy_texts = [self.tokenizer.decode(t, skip_special_tokens=True)
@@ -676,8 +699,9 @@ class CaptioningTrainer:
                 jnp.asarray(valid))
             losses.append((float(loss_b), float(ntok_b)))
             rng, step_rng = jax.random.split(rng)
-            tokens = np.asarray(
-                self._val_decode_step(self.state, inputs, step_rng))
+            with self._decode_ctx():
+                tokens = np.asarray(
+                    self._val_decode_step(self.state, inputs, step_rng))
             for j in range(len(tokens)):
                 if not valid[j]:
                     continue

@@ -179,13 +179,13 @@ def test_dp8_beam_decode_pallas_kernel_token_identical(rng):
                            {"pooled_features": pooled},
                            jnp.zeros((B, 4), jnp.int32))
 
-    def run(dec, feats_in):
+    def run(dec, feats_in, batch=B):
         cache = dec.apply(variables, feats_in, L, method=dec.init_cache)
 
         def step_fn(s, toks):
             return dec.apply(variables, s, toks, method=dec.step)
 
-        return beam_search(step_fn, cache, B, 5, 1, 2, 0, L,
+        return beam_search(step_fn, cache, batch, 5, 1, 2, 0, L,
                            length_penalty=0.8, min_length=2)
 
     res_single = jax.jit(lambda f: run(dec_x, f))({"pooled_features": pooled})
@@ -199,3 +199,24 @@ def test_dp8_beam_decode_pallas_kernel_token_identical(rng):
                                   np.asarray(res_single.tokens))
     np.testing.assert_allclose(np.asarray(res_dp8.scores),
                                np.asarray(res_single.scores), rtol=1e-4)
+
+    # VERDICT r2 task 2: the production multi-chip path — decode_mesh
+    # announces the mesh, the fused kernel shard_maps one pallas_call per
+    # data shard (no GSPMD gather of the un-partitionable custom call) —
+    # must also be token-identical.
+    from image_captioning_ml_project_tpu.ops.pallas_decode import decode_mesh
+
+    with decode_mesh(mesh, "data"):
+        res_sm = jax.jit(lambda f: run(dec_p, f), keep_unused=True)(
+            {"pooled_features": pooled_sharded})
+    np.testing.assert_array_equal(np.asarray(res_sm.tokens),
+                                  np.asarray(res_single.tokens))
+    np.testing.assert_allclose(np.asarray(res_sm.scores),
+                               np.asarray(res_single.scores), rtol=1e-4)
+
+    # a batch not divisible by the data axis must fail loudly, not wedge
+    # Mosaic/GSPMD
+    with decode_mesh(mesh, "data"), pytest.raises(ValueError,
+                                                  match="divisible"):
+        bad = jnp.asarray(np.random.randn(6, 16).astype(np.float32))
+        jax.jit(lambda f: run(dec_p, f, batch=6))({"pooled_features": bad})
