@@ -92,6 +92,10 @@ class EncoderConfig:
     # Object-region encoder
     max_objects: int = 36
     region_feature_dim: int = 2048
+    # Rematerialize transformer blocks in the backward pass (activation
+    # memory ∝ 1/num_layers at ~1/3 extra forward FLOPs) — enables larger
+    # train batches on ViT/CLIP backbones; measured in docs/performance.md.
+    remat: bool = False
 
 
 @dataclass
@@ -163,6 +167,10 @@ class TrainingConfig:
     # bf16 mixed precision replaces the reference's CUDA AMP
     # (reference: src/train/trainer.py:70-71, 227-255).
     use_amp: bool = True
+    # AdamW first-moment dtype ("float32" | "bfloat16"): bf16 halves the
+    # momentum's HBM footprint/traffic; optax keeps the second moment f32
+    # (no nu_dtype knob — documented wall, docs/performance.md).
+    adam_mu_dtype: str = "float32"
 
     use_curriculum: bool = False
     curriculum_strategy: str = "caption_length"

@@ -61,6 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--vocab", type=str, default=None,
                         help="Word-vocab JSON path (built from train "
                              "annotations if absent)")
+    parser.add_argument("--device_resize", action="store_true",
+                        help="Device-resident eval preprocessing: host "
+                             "decodes JPEGs only; resize+normalize run on "
+                             "the TPU (ops/resize.py)")
     return parser
 
 
@@ -86,6 +90,8 @@ def _update_config_from_args(config: Config, args) -> None:
         config.training.use_rl = True
     if args.data_root:
         config.data_root = args.data_root
+    if getattr(args, "device_resize", False):
+        config.device_resize = True
 
 
 def setup_tokenizer(config: Config, vocab_path: Optional[str] = None,
@@ -249,7 +255,16 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
         with trainer._decode_ctx():
             tokens = decode_batch(trainer.state, trainer._batch_inputs(batch))
         if reranker is not None:
-            tokens = reranker(batch["image"], tokens)
+            imgs = batch["image"]
+            if "image_size" in batch:
+                # device_resize batches carry canvases; give CLIP the same
+                # resized pixels the captioner saw (f32 [0,255] is fine
+                # for clip_normalize's /255)
+                from .ops.resize import resize_square
+
+                imgs = resize_square(imgs, batch["image_size"],
+                                     config.image_size)
+            tokens = reranker(imgs, tokens)
         tokens = np.asarray(tokens)
         valid = batch.get("batch_valid", np.ones(len(tokens), dtype=bool))
         for i in range(len(tokens)):

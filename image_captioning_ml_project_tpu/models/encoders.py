@@ -309,6 +309,7 @@ class ViTBackbone(nn.Module):
     patch_size: int = 16
     layer_norm_eps: float = 1e-12
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -322,9 +323,10 @@ class ViTBackbone(nn.Module):
         pos = self.param("position_embeddings", nn.initializers.zeros,
                          (1, x.shape[1], h))
         x = x + pos.astype(x.dtype)
+        layer_cls = nn.remat(ViTLayer) if self.remat else ViTLayer
         for i in range(self.num_layers):
-            x = ViTLayer(h, self.num_heads, h * self.mlp_ratio,
-                         dtype=self.dtype, name=f"layer_{i}")(x)
+            x = layer_cls(h, self.num_heads, h * self.mlp_ratio,
+                          dtype=self.dtype, name=f"layer_{i}")(x)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          name="layernorm")(x)
         pooled = jnp.tanh(nn.Dense(h, dtype=self.dtype, name="pooler")(x[:, 0]))
@@ -349,6 +351,7 @@ class ViTEncoder(nn.Module):
             mlp_ratio=cfg.mlp_ratio,
             patch_size=cfg.patch_size,
             dtype=self.dtype,
+            remat=getattr(cfg, "remat", False),
             name="backbone",
         )(images)
         if cfg.freeze:
@@ -403,6 +406,7 @@ class CLIPVisionBackbone(nn.Module):
     mlp_ratio: int = 4
     patch_size: int = 32
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -418,8 +422,10 @@ class CLIPVisionBackbone(nn.Module):
                          (x.shape[1], h))
         x = x + pos.astype(x.dtype)[None]
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_layernorm")(x)
+        # nn.remat keeps module names/param paths; only the backward changes
+        layer_cls = nn.remat(CLIPLayer) if self.remat else CLIPLayer
         for i in range(self.num_layers):
-            x = CLIPLayer(h, self.num_heads, h * self.mlp_ratio,
+            x = layer_cls(h, self.num_heads, h * self.mlp_ratio,
                           dtype=self.dtype, name=f"layer_{i}")(x)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                               name="post_layernorm")(x[:, 0])
@@ -444,6 +450,7 @@ class CLIPEncoder(nn.Module):
             mlp_ratio=cfg.mlp_ratio,
             patch_size=cfg.patch_size,
             dtype=self.dtype,
+            remat=getattr(cfg, "remat", False),
             name="backbone",
         )(images)
         if cfg.freeze:

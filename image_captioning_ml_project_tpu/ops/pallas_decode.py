@@ -279,7 +279,8 @@ def fused_beam_decode_attention(
         prefix_k: jnp.ndarray, prefix_v: jnp.ndarray,
         anc_local: Optional[jnp.ndarray], pos: jnp.ndarray,
         *, num_heads: int, beam_size: int, scale: float,
-        block_images: Optional[int] = None, precise: bool = True,
+        block_images: Optional[int] = None,
+        precise: Optional[bool] = None,
         interpret: Optional[bool] = None,
         mesh=None, data_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -310,6 +311,14 @@ def fused_beam_decode_attention(
     NH = num_heads
     if S % 8:
         raise ValueError(f"cache position axis must be 8-aligned, got {S}")
+    if precise is None:
+        # experiment knob (docs/performance.md bf16-scores verdict):
+        # ICT_DECODE_PRECISE=0 runs bf16 score products (each product
+        # rounded to bf16 before the f32-accumulating dot) instead of the
+        # default exact-f32-product path
+        import os as _os
+
+        precise = _os.environ.get("ICT_DECODE_PRECISE", "1") != "0"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if H % 128 and not interpret:

@@ -57,6 +57,9 @@ def create_optimizer(config: TrainingConfig, total_steps: int,
         learning_rate=schedule,
         weight_decay=config.weight_decay,
         mask=no_decay_mask if params is None else no_decay_mask(params),
+        mu_dtype=jnp.bfloat16
+        if getattr(config, "adam_mu_dtype", "float32") == "bfloat16"
+        else None,
     )
     if config.grad_clip_norm and config.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(config.grad_clip_norm), tx)

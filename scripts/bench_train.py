@@ -32,6 +32,11 @@ def main():
     c.training.batch_size = batch
     c.training.use_amp = True
     c.model.decoder.max_length = 50
+    # experiment toggles (VERDICT r2 task 6)
+    if os.environ.get("BT_REMAT"):
+        c.model.encoder.remat = True
+    if os.environ.get("BT_MU_BF16"):
+        c.training.adam_mu_dtype = "bfloat16"
 
     class _Empty:
         examples: list = []

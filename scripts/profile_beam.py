@@ -114,7 +114,8 @@ def main():
         from image_captioning_ml_project_tpu.train.trainer import (
             CaptioningTrainer)
 
-        c.training.batch_size = batch if not on_tpu else 32
+        c.training.batch_size = batch if not on_tpu else int(
+            os.environ.get("PB_TRAIN_BATCH", "32"))
         c.training.use_amp = True
         c.model.decoder.max_length = 50
 

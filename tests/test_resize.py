@@ -93,6 +93,59 @@ def test_load_image_square_jpeg(tmp_path, rng):
     assert not canvas[side:].any() and not canvas[:, side:].any()
 
 
+def test_evaluate_cli_with_device_resize(tmp_path):
+    """evaluate() end-to-end with config.device_resize: canvases flow
+    through _batch_inputs/_prepare_inputs, decode covers every image."""
+    import json
+    import os
+
+    from image_captioning_ml_project_tpu.config import (
+        AttentionType, DecoderType, EncoderType, get_default_config)
+    from image_captioning_ml_project_tpu.data.synthetic import (
+        make_synthetic_coco)
+    from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
+    from image_captioning_ml_project_tpu.main import evaluate
+
+    root = str(tmp_path / "coco")
+    make_synthetic_coco(root, num_images=6, captions_per_image=2,
+                        image_size=48)
+    with open(os.path.join(root,
+                           "annotations/captions_train2014.json")) as f:
+        ann = json.load(f)
+    vocab = WordVocab.build([a["caption"] for a in ann["annotations"]],
+                            threshold=1)
+    cfg = get_default_config()
+    cfg.data_root = root
+    cfg.image_size = 32
+    cfg.device_resize = True
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.model.encoder.encoder_type = EncoderType.VIT
+    for f_ in ("feature_dim", "hidden_size"):
+        setattr(cfg.model.encoder, f_, 16)
+    cfg.model.encoder.num_layers = 1
+    cfg.model.encoder.num_heads = 2
+    cfg.model.encoder.patch_size = 8
+    cfg.model.encoder.image_size = 32
+    cfg.model.decoder.decoder_type = DecoderType.LSTM
+    cfg.model.decoder.hidden_dim = 16
+    cfg.model.decoder.num_layers = 1
+    cfg.model.decoder.max_length = 12
+    cfg.model.attention.attention_type = AttentionType.SOFT
+    cfg.model.attention.hidden_dim = 16
+    cfg.model.projection_dim = 16
+    cfg.model.vocab_size = vocab.vocab_size
+    cfg.model.pad_token_id = vocab.pad_token_id
+    cfg.model.bos_token_id = vocab.bos_token_id
+    cfg.model.eos_token_id = vocab.eos_token_id
+    cfg.inference.max_length = 8
+    cfg.inference.num_candidates = 4
+    cfg.inference.decoding_strategy = "greedy"
+
+    metrics = evaluate(cfg, tokenizer=vocab)
+    assert "CIDEr" in metrics and np.isfinite(metrics["CIDEr"])
+
+
 def test_device_resize_dataset_and_trainer(tmp_path):
     """End-to-end plumbing: device_resize datasets emit canvas batches, the
     trainer resizes on device, and eval decodes every image."""

@@ -114,6 +114,56 @@ def test_validation_metrics(setup):
     assert "CIDEr" in metrics
 
 
+def test_encoder_remat_matches_exact(setup):
+    """encoder.remat=True only changes the backward-pass schedule
+    (rematerialized activations); one train step must produce numerically
+    identical parameters."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    results = []
+    for remat in (False, True):
+        c = copy.deepcopy(cfg)
+        c.model.encoder.remat = remat
+        trainer = CaptioningTrainer(c, train_ds, val_ds, vocab)
+        batch = next(iter(trainer._train_batches()))
+        state, metrics = trainer._train_step(
+            trainer.state, batch["image"], batch["caption_tokens"],
+            batch["attention_mask"], jax.random.PRNGKey(0))
+        results.append((jax.tree_util.tree_leaves(state.params),
+                        float(metrics["total_loss"])))
+    (p0, l0), (p1, l1) = results
+    assert l0 == pytest.approx(l1, rel=1e-6)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_adam_mu_bf16_trains(setup):
+    """adam_mu_dtype=bfloat16 halves momentum memory; training must still
+    descend (numerics differ slightly from f32 by design)."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    c = copy.deepcopy(cfg)
+    c.training.adam_mu_dtype = "bfloat16"
+    c.training.num_epochs = 10
+    trainer = CaptioningTrainer(c, train_ds, val_ds, vocab)
+    import jax.numpy as jnp
+
+    mu_leaves = [l for l in jax.tree_util.tree_leaves(
+        trainer.state.opt_state) if hasattr(l, "dtype")]
+    assert any(l.dtype == jnp.bfloat16 for l in mu_leaves)
+    batch = next(iter(trainer._train_batches()))
+    losses = []
+    for _ in range(10):
+        trainer.state, m = trainer._train_step(
+            trainer.state, batch["image"], batch["caption_tokens"],
+            batch["attention_mask"], jax.random.PRNGKey(0))
+        losses.append(float(m["total_loss"]))
+    assert losses[-1] < losses[0]
+
+
 def test_val_loss_unbiased_by_padded_trailing_batch(setup):
     """VERDICT r2 weak-#2: pad_last duplicate rows must not contribute to
     the epoch validation loss. The same 8 val images evaluated in one full
