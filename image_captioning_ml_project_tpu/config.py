@@ -275,6 +275,15 @@ class Config:
     # run on the TPU inside the jitted step (ops/resize.py). Training keeps
     # the host RandomResizedCrop path regardless.
     device_resize: bool = False
+    # Native (C++) host decode pipeline (native/jpeg_loader.cpp): libjpeg
+    # decode + PIL-semantics antialiased resize with an in-process
+    # std::thread batch pool. Falls back to PIL automatically when the
+    # toolchain is unavailable. native_threads = 0 means one thread per
+    # host CPU; native_draft enables DCT-scaled eval decode (fastest,
+    # device_resize-grade resampling instead of exact PIL parity).
+    native_loader: bool = False
+    native_threads: int = 0
+    native_draft: bool = False
 
 
 def get_default_config() -> Config:

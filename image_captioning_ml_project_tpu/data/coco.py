@@ -54,10 +54,12 @@ def normalize_images(images_uint8):
 # ---------------------------------------------------------------------------
 
 
-def random_resized_crop(img: "Image.Image", size: int, rng: np.random.RandomState,
-                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> "Image.Image":
-    """torchvision RandomResizedCrop semantics."""
-    W, H = img.size
+def draw_crop_box(W: int, H: int, rng: np.random.RandomState,
+                  scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """The RandomResizedCrop box draw — torchvision semantics. Shared by
+    the PIL and native (C++) decode paths so both consume the identical
+    RNG sequence; returns (x, y, w, h) or None for the center-crop
+    fallback."""
     area = W * H
     for _ in range(10):
         target_area = area * rng.uniform(*scale)
@@ -68,8 +70,19 @@ def random_resized_crop(img: "Image.Image", size: int, rng: np.random.RandomStat
         if 0 < w <= W and 0 < h <= H:
             x = rng.randint(0, W - w + 1)
             y = rng.randint(0, H - h + 1)
-            return img.crop((x, y, x + w, y + h)).resize((size, size),
-                                                         Image.BILINEAR)
+            return x, y, w, h
+    return None
+
+
+def random_resized_crop(img: "Image.Image", size: int, rng: np.random.RandomState,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> "Image.Image":
+    """torchvision RandomResizedCrop semantics."""
+    W, H = img.size
+    box = draw_crop_box(W, H, rng, scale, ratio)
+    if box is not None:
+        x, y, w, h = box
+        return img.crop((x, y, x + w, y + h)).resize((size, size),
+                                                     Image.BILINEAR)
     return center_crop_resize(img, size)
 
 
@@ -152,6 +165,9 @@ class COCOCaptionDataset:
         max_ref_captions: int = 5,
         seed: int = 0,
         device_resize: bool = False,
+        native_loader: bool = False,
+        native_threads: int = 0,
+        native_draft: bool = False,
     ):
         self.root_dir = root_dir
         self.image_dir = os.path.join(root_dir, image_dir)
@@ -173,6 +189,13 @@ class COCOCaptionDataset:
         # 1.8x the host->device bytes per image.
         self.device_resize = device_resize and not is_training
         self.canvas_size = -(-3 * image_size // 2 // 16) * 16
+        # Native C++ decode pipeline (native/jpeg_loader.cpp): availability
+        # is resolved lazily on first image load so merely constructing a
+        # dataset never triggers a compile; PIL is the silent fallback.
+        self.native_loader = native_loader
+        self.native_threads = native_threads
+        self.native_draft = native_draft
+        self._native = None  # unresolved
 
         with open(self.annotation_path) as f:
             self.annotations = json.load(f)
@@ -209,16 +232,167 @@ class COCOCaptionDataset:
     def __len__(self):
         return len(self.examples)
 
+    def _native_mod(self):
+        """The native loader module, or None (resolved once, PIL fallback)."""
+        if self._native is None:
+            self._native = False
+            if self.native_loader:
+                try:
+                    from .. import native as _nmod
+                    if _nmod.available():
+                        self._native = _nmod
+                except Exception:
+                    pass
+        return self._native or None
+
+    def _load_native_one(self, path: str):
+        """Native decode of one image; returns (image, side_or_None) or
+        None to signal PIL fallback (corrupt/non-JPEG inputs)."""
+        nl = self._native_mod()
+        if nl is None:
+            return None
+        with open(path, "rb") as f:
+            buf = f.read()
+        if self.device_resize:
+            canv, sides = nl.decode_square_batch(
+                [buf], self.image_size, self.canvas_size, n_threads=1)
+            if sides[0] < 0:
+                return None
+            return canv[0], np.int32(sides[0])
+        if self.is_training:
+            wh = nl.probe(buf)
+            if wh is None:
+                return None
+            # snapshot the RNG: if the native decode fails after the box/
+            # flip draws, the PIL fallback must see the same sequence
+            rng_state = self.rng.get_state()
+            box = draw_crop_box(wh[0], wh[1], self.rng)
+            flip = bool(self.rng.rand() < 0.5)
+            if box is None:  # center-crop fallback draw, then flip
+                img, st = nl.decode_eval_batch([buf], self.image_size,
+                                               draft=False, n_threads=1)
+            else:
+                img, st = nl.decode_train_batch(
+                    [buf], np.array([box]), np.array([int(flip)]),
+                    self.image_size, n_threads=1)
+            if st[0] != 0:
+                self.rng.set_state(rng_state)
+                return None
+            image = img[0]
+            if box is None and flip:
+                image = np.ascontiguousarray(image[:, ::-1])
+            return image, None
+        img, st = nl.decode_eval_batch([buf], self.image_size,
+                                       draft=self.native_draft, n_threads=1)
+        if st[0] != 0:
+            return None
+        return img[0], None
+
+    def decode_chunk(self, tasks) -> Optional[list]:
+        """Batch-decode images for ``tasks = [(idx, sample_seed), ...]``
+        through the native thread pool (one C++ call for the whole batch,
+        GIL released — the in-process replacement for forked PIL workers).
+        Returns ``[(image, side_or_None), ...]`` aligned with ``tasks``, or
+        None when the native library is unavailable. Items the native
+        decoder rejects fall back to PIL individually."""
+        nl = self._native_mod()
+        if nl is None:
+            return None
+        bufs = []
+        for idx, _ in tasks:
+            path = os.path.join(self.image_dir,
+                                self.examples[idx]["filename"])
+            with open(path, "rb") as f:
+                bufs.append(f.read())
+        nt = self.native_threads or None
+        if self.device_resize:
+            canv, sides = nl.decode_square_batch(
+                bufs, self.image_size, self.canvas_size, n_threads=nt)
+            out = []
+            for j, (idx, _) in enumerate(tasks):
+                if sides[j] < 0:
+                    path = os.path.join(self.image_dir,
+                                        self.examples[idx]["filename"])
+                    out.append(load_image_square(
+                        path, self.image_size, self.canvas_size))
+                else:
+                    out.append((canv[j], np.int32(sides[j])))
+            return out
+        if self.is_training:
+            # identical RNG consumption to the serial PIL path: reseed per
+            # sample, draw the crop box + flip, then decode in one batch
+            boxes = np.zeros((len(tasks), 4), dtype=np.int32)
+            flips = np.zeros(len(tasks), dtype=np.int32)
+            eval_fallback = []
+            for j, ((idx, sample_seed), buf) in enumerate(zip(tasks, bufs)):
+                rng = np.random.RandomState(sample_seed)
+                wh = nl.probe(buf)
+                if wh is None:
+                    boxes[j] = (0, 0, -1, -1)  # poison -> native error path
+                    continue
+                box = draw_crop_box(wh[0], wh[1], rng)
+                flips[j] = int(rng.rand() < 0.5)
+                if box is None:
+                    eval_fallback.append(j)
+                    boxes[j] = (0, 0, wh[0], wh[1])  # full-frame crop
+                else:
+                    boxes[j] = box
+            imgs, st = nl.decode_train_batch(bufs, boxes, flips,
+                                             self.image_size, n_threads=nt)
+            for j in eval_fallback:
+                # PIL-path fallback is center_crop_resize, not a full-frame
+                # squash — redo those few natively with the eval transform
+                img1, st1 = nl.decode_eval_batch([bufs[j]], self.image_size,
+                                                 draft=False, n_threads=1)
+                if st1[0] == 0:
+                    imgs[j] = img1[0][:, ::-1] if flips[j] else img1[0]
+                    st[j] = 0
+                else:
+                    st[j] = -1
+            out = []
+            for j, (idx, sample_seed) in enumerate(tasks):
+                if st[j] != 0:
+                    self.rng = np.random.RandomState(sample_seed)
+                    out.append((load_image(
+                        os.path.join(self.image_dir,
+                                     self.examples[idx]["filename"]),
+                        self.image_size, True, self.rng), None))
+                else:
+                    out.append((imgs[j], None))
+            return out
+        imgs, st = nl.decode_eval_batch(bufs, self.image_size,
+                                        draft=self.native_draft, n_threads=nt)
+        out = []
+        for j, (idx, _) in enumerate(tasks):
+            if st[j] != 0:
+                out.append((load_image(
+                    os.path.join(self.image_dir,
+                                 self.examples[idx]["filename"]),
+                    self.image_size, False, None), None))
+            else:
+                out.append((imgs[j], None))
+        return out
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self.get_sample(idx)
+
+    def get_sample(self, idx: int, image=None,
+                   image_side=None) -> Dict[str, Any]:
+        """Assemble one sample; ``image`` (+ ``image_side`` for the
+        device_resize path) may be pre-decoded by ``decode_chunk``."""
         ex = self.examples[idx]
         path = os.path.join(self.image_dir, ex["filename"])
-        image_side = None
-        if self.device_resize:
-            image, image_side = load_image_square(
-                path, self.image_size, self.canvas_size)
-        else:
-            image = load_image(path, self.image_size, self.is_training,
-                               self.rng)
+        if image is None:
+            loaded = (self._load_native_one(path)
+                      if self.native_loader else None)
+            if loaded is not None:
+                image, image_side = loaded
+            elif self.device_resize:
+                image, image_side = load_image_square(
+                    path, self.image_size, self.canvas_size)
+            else:
+                image = load_image(path, self.image_size, self.is_training,
+                                   self.rng)
         if self.is_training:
             ids, mask = self.tokenizer.encode(ex["caption"], self.max_length)
             return {
@@ -444,6 +618,14 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
                 samples = list(pool.map(
                     _worker_get, tasks,
                     chunksize=max(1, len(tasks) // num_workers)))
+            elif getattr(dataset, "native_loader", False) and (
+                    decoded := dataset.decode_chunk(tasks)) is not None:
+                # native C++ batch decode: one call for the whole chunk,
+                # std::thread fan-out inside, GIL released — the in-process
+                # replacement for forked PIL workers. Per-sample seeding is
+                # identical (decode_chunk reseeds from the same task seeds).
+                samples = [dataset.get_sample(i, image=img, image_side=side)
+                           for (i, _), (img, side) in zip(tasks, decoded)]
             else:
                 # same per-sample seeding as the worker path, so batches are
                 # identical for any worker count (incl. 0); no module global
@@ -489,6 +671,11 @@ def _worker_get(task):
 def build_coco_datasets(config, tokenizer):
     """Train/val dataset pair from a Config
     (reference: build_coco_dataloaders, src/data/dataset.py:390-472)."""
+    native = dict(
+        native_loader=getattr(config, "native_loader", False),
+        native_threads=getattr(config, "native_threads", 0),
+        native_draft=getattr(config, "native_draft", False),
+    )
     train = COCOCaptionDataset(
         root_dir=config.data_root,
         annotation_file=config.train_json,
@@ -498,6 +685,7 @@ def build_coco_datasets(config, tokenizer):
         max_length=config.model.decoder.max_length,
         is_training=True,
         seed=config.seed,
+        **native,
     )
     val = COCOCaptionDataset(
         root_dir=config.data_root,
@@ -509,6 +697,7 @@ def build_coco_datasets(config, tokenizer):
         is_training=False,
         seed=config.seed,
         device_resize=getattr(config, "device_resize", False),
+        **native,
     )
     return train, val
 

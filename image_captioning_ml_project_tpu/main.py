@@ -65,6 +65,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         help="Device-resident eval preprocessing: host "
                              "decodes JPEGs only; resize+normalize run on "
                              "the TPU (ops/resize.py)")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="Native C++ host decode pipeline "
+                             "(native/jpeg_loader.cpp): libjpeg + threaded "
+                             "batch decode; falls back to PIL if the "
+                             "toolchain is unavailable")
+    parser.add_argument("--native_threads", type=int, default=None,
+                        help="Native decode threads (0 = one per host CPU)")
+    parser.add_argument("--native_draft", action="store_true",
+                        help="DCT-scaled native eval decode (fastest; "
+                             "device_resize-grade resampling instead of "
+                             "exact PIL parity)")
     return parser
 
 
@@ -92,6 +103,12 @@ def _update_config_from_args(config: Config, args) -> None:
         config.data_root = args.data_root
     if getattr(args, "device_resize", False):
         config.device_resize = True
+    if getattr(args, "native_loader", False):
+        config.native_loader = True
+    if getattr(args, "native_threads", None) is not None:
+        config.native_threads = args.native_threads
+    if getattr(args, "native_draft", False):
+        config.native_draft = True
 
 
 def setup_tokenizer(config: Config, vocab_path: Optional[str] = None,

@@ -12,6 +12,11 @@ the jitted resize/normalize + CLIP + GPT-2 beam-5 decode — in two modes:
   fixed 448 canvas; antialiased resize + normalize run on device as two
   MXU matmuls, ops/resize.py).
 
+Each mode also runs with the native C++ loader (native/jpeg_loader.cpp:
+in-process libjpeg decode + threaded batch transform) when it is
+available — the "native" rows. ICT_NATIVE_DRAFT=1 additionally enables
+the DCT-scaled native eval decode.
+
 Every batch's tokens are fetched (np.asarray) exactly as the real eval CLI
 does, so dispatch chains cannot hide host time.
 
@@ -115,11 +120,13 @@ def main():
                            mc.eos_token_id, mc.pad_token_id, L,
                            length_penalty=c.inference.length_penalty).tokens
 
-    def run(device_resize: bool, num_workers: int):
+    def run(device_resize: bool, num_workers: int, native: bool = False):
         ds = COCOCaptionDataset(
             root_dir=root, annotation_file="annotations/captions_val2014.json",
             image_dir="val2014", tokenizer=vocab, image_size=224,
-            max_length=20, is_training=False, device_resize=device_resize)
+            max_length=20, is_training=False, device_resize=device_resize,
+            native_loader=native,
+            native_draft=bool(int(os.environ.get("ICT_NATIVE_DRAFT", "0"))))
 
         def decode_batch(b):
             if device_resize:
@@ -145,14 +152,20 @@ def main():
         dt = time.perf_counter() - t0
         return n / dt
 
+    from image_captioning_ml_project_tpu import native as native_mod
+    native_modes = (False, True) if native_mod.available() else (False,)
     results = {}
     for device_resize in (False, True):
-        mode = "device_resize" if device_resize else "host_resize"
-        for w in workers_list:
-            ips = run(device_resize, w)
-            results[f"{mode}_w{w}"] = round(ips, 1)
-            print(f"{mode:>14} workers={w:<3} {ips:8.1f} images/sec "
-                  f"end-to-end", flush=True)
+        for native in native_modes:
+            mode = ("device_resize" if device_resize else "host_resize") + (
+                "_native" if native else "")
+            for w in workers_list:
+                if native and w:
+                    continue  # native scales via threads, not fork workers
+                ips = run(device_resize, w, native)
+                results[f"{mode}_w{w}"] = round(ips, 1)
+                print(f"{mode:>21} workers={w:<3} {ips:8.1f} images/sec "
+                      f"end-to-end", flush=True)
 
     print(json.dumps({
         "metric": "e2e_disk_jpeg_to_captions_images_per_sec",

@@ -39,21 +39,31 @@ def main():
 
     root = tempfile.mkdtemp(prefix="pipe_bench_")
     # enough images that a few batches don't fit in page cache warm-start
+    # JPEG corpus — what real COCO ships (and what both the PIL draft path
+    # and the native C++ loader are specialized for)
     make_synthetic_coco(os.path.join(root, "data"), num_images=256,
-                        captions_per_image=2, image_size=480)
+                        captions_per_image=2, image_size=480,
+                        image_format="jpg", size_jitter=160)
 
     vocab = WordVocab.build(
         os.path.join(root, "data", "annotations", "captions_train2014.json"),
         threshold=1)
-    ds = COCOCaptionDataset(
-        root_dir=os.path.join(root, "data"),
-        annotation_file="annotations/captions_train2014.json",
-        image_dir="train2014",
-        tokenizer=vocab, image_size=image_size, max_length=50,
-        is_training=True)
+    def make_ds(native):
+        return COCOCaptionDataset(
+            root_dir=os.path.join(root, "data"),
+            annotation_file="annotations/captions_train2014.json",
+            image_dir="train2014",
+            tokenizer=vocab, image_size=image_size, max_length=50,
+            is_training=True, native_loader=native)
+
+    from image_captioning_ml_project_tpu import native as native_mod
 
     best = None
-    for workers in (0, 4, 8, 16):
+    variants = [(w, False) for w in (0, 4, 8, 16)]
+    if native_mod.available():
+        variants += [(0, True)]
+    for workers, native in variants:
+        ds = make_ds(native)
         # warm the page cache once
         it = iterate_batches(ds, batch_size, shuffle=True, seed=1,
                              num_workers=workers)
@@ -66,7 +76,8 @@ def main():
             n_img += batch["image"].shape[0]
         dt = time.perf_counter() - t0
         ips = n_img / dt
-        print(f"num_workers={workers:<3} {ips:8.1f} images/sec "
+        tag = " native" if native else ""
+        print(f"num_workers={workers:<3}{tag:>7} {ips:8.1f} images/sec "
               f"({n_img} imgs in {dt:.2f}s)", flush=True)
         if best is None or ips > best[1]:
             best = (workers, ips)

@@ -1,0 +1,195 @@
+"""Native C++ JPEG pipeline (native/jpeg_loader.cpp + native/loader.py).
+
+The native path replaces the reference's Python-in-worker-process host
+pipeline (reference: src/main.py:139-153 transforms; src/data/dataset.py:452
+DataLoader workers) with in-process C++ threads. These tests pin:
+  * eval-transform agreement with the PIL path (center_crop_resize)
+  * bit-exactness of the decode-only canvas path vs PIL draft decode
+  * train-path RNG/box equivalence (shared draw_crop_box sequence)
+  * thread-count invariance, corrupt-input statuses, PIL fallbacks
+  * end-to-end batch equality through iterate_batches (serial native batch
+    decode vs per-sample native in forked workers vs the PIL path)
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_captioning_ml_project_tpu import native
+from image_captioning_ml_project_tpu.data.coco import (
+    COCOCaptionDataset, center_crop_resize, iterate_batches,
+    load_image_square)
+from image_captioning_ml_project_tpu.data.synthetic import make_synthetic_coco
+from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable")
+
+
+def _jpegs(n=6, seed=0, sizes=((640, 480), (480, 640), (500, 375))):
+    rng = np.random.RandomState(seed)
+    bufs = []
+    for i in range(n):
+        w, h = sizes[i % len(sizes)]
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        arr = np.asarray(Image.fromarray(arr).resize((w, h), Image.BILINEAR))
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, "JPEG", quality=92)
+        bufs.append(bio.getvalue())
+    return bufs
+
+
+def test_eval_parity_vs_pil():
+    bufs = _jpegs()
+    out, st = native.decode_eval_batch(bufs, 224, draft=False, n_threads=2)
+    assert (st == 0).all()
+    for b, img in zip(bufs, out):
+        pil = np.asarray(center_crop_resize(
+            Image.open(io.BytesIO(b)).convert("RGB"), 224), dtype=np.uint8)
+        d = np.abs(img.astype(int) - pil.astype(int))
+        assert d.max() <= 2 and d.mean() < 0.5
+
+
+def test_square_exact_vs_pil_draft(tmp_path):
+    bufs = _jpegs()
+    out, sides = native.decode_square_batch(bufs, 224, 336, n_threads=2)
+    exact = 0
+    for j, b in enumerate(bufs):
+        p = tmp_path / f"i{j}.jpg"
+        p.write_bytes(b)
+        ref, ref_side = load_image_square(str(p), 224, 336)
+        assert sides[j] == ref_side
+        d = np.abs(out[j].astype(int) - ref.astype(int))
+        # decode-only canvases are bit-exact vs PIL draft when the square
+        # fits; the rare host-assist downscale (side > canvas) differs from
+        # PIL's fixed-point resize by <= 1 LSB
+        assert d.max() <= 1
+        exact += int(d.max() == 0)
+    assert exact >= 1  # at least the DCT-scalable inputs match exactly
+
+
+def test_draft_eval_close_to_device_resize_grade():
+    # draft=True decodes DCT-scaled then resizes the remainder — the same
+    # resampling chain as the device_resize path; it should stay close to
+    # the full-decode result (not bit-equal: different lowpass).
+    bufs = _jpegs(3)
+    full, _ = native.decode_eval_batch(bufs, 224, draft=False)
+    draft, _ = native.decode_eval_batch(bufs, 224, draft=True)
+    d = np.abs(full.astype(int) - draft.astype(int))
+    assert d.mean() < 12  # worst-case high-entropy inputs
+
+def test_thread_invariance():
+    bufs = _jpegs(8)
+    a, _ = native.decode_eval_batch(bufs, 224, draft=False, n_threads=1)
+    b, _ = native.decode_eval_batch(bufs, 224, draft=False, n_threads=4)
+    assert np.array_equal(a, b)
+    sa, _ = native.decode_square_batch(bufs, 224, 336, n_threads=1)
+    sb, _ = native.decode_square_batch(bufs, 224, 336, n_threads=4)
+    assert np.array_equal(sa, sb)
+
+
+def test_corrupt_inputs_report_status():
+    good = _jpegs(1)[0]
+    bad = b"not a jpeg at all" * 10
+    trunc = good[: len(good) // 3]
+    out, st = native.decode_eval_batch([good, bad, trunc], 64, draft=False)
+    assert st[0] == 0 and st[1] != 0
+    # truncated streams may decode partially or fail; either way no crash
+    assert native.probe(bad) is None
+    assert native.probe(good) is not None
+
+
+def _make_ds(root, split_fmt, **kw):
+    vocab = WordVocab.build(["a b c d"], threshold=1)
+    return COCOCaptionDataset(
+        root_dir=root, annotation_file="annotations/captions_train2014.json",
+        image_dir="train2014", tokenizer=vocab, image_size=64,
+        max_length=12, seed=3, **kw)
+
+
+@pytest.fixture(scope="module")
+def jpg_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("coco_jpg"))
+    make_synthetic_coco(root, num_images=10, captions_per_image=2,
+                        image_size=96, splits=["train"], seed=0,
+                        image_format="jpg", size_jitter=48)
+    return root
+
+
+@pytest.fixture(scope="module")
+def png_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("coco_png"))
+    make_synthetic_coco(root, num_images=6, captions_per_image=2,
+                        image_size=96, splits=["train"], seed=0,
+                        image_format="png", size_jitter=16)
+    return root
+
+
+def _batches(ds, num_workers=0, n=3):
+    out = []
+    it = iterate_batches(ds, batch_size=4, shuffle=True, seed=11,
+                         pad_last=True, num_workers=num_workers)
+    for i, b in enumerate(it):
+        out.append(b)
+        if i + 1 >= n:
+            break
+    return out
+
+
+def test_train_pipeline_native_matches_pil(jpg_root):
+    pil = _batches(_make_ds(jpg_root, None, is_training=True))
+    nat = _batches(_make_ds(jpg_root, None, is_training=True,
+                            native_loader=True))
+    for bp, bn in zip(pil, nat):
+        assert np.array_equal(bp["caption_tokens"], bn["caption_tokens"])
+        d = np.abs(bp["image"].astype(int) - bn["image"].astype(int))
+        # same crop boxes/flips by shared RNG; pixels within resize LSBs
+        assert d.max() <= 3 and d.mean() < 0.6
+
+
+def test_native_worker_invariance(jpg_root):
+    # serial batch decode (decode_chunk) vs per-sample decode in forked
+    # workers must be BIT-identical
+    ds = _make_ds(jpg_root, None, is_training=True, native_loader=True)
+    a = _batches(ds)
+    b = _batches(_make_ds(jpg_root, None, is_training=True,
+                          native_loader=True), num_workers=2)
+    for ba, bb in zip(a, b):
+        assert np.array_equal(ba["image"], bb["image"])
+        assert np.array_equal(ba["caption_tokens"], bb["caption_tokens"])
+
+
+def test_eval_pipeline_native_matches_pil(jpg_root):
+    pil = _batches(_make_ds(jpg_root, None, is_training=False))
+    nat = _batches(_make_ds(jpg_root, None, is_training=False,
+                            native_loader=True))
+    for bp, bn in zip(pil, nat):
+        d = np.abs(bp["image"].astype(int) - bn["image"].astype(int))
+        assert d.max() <= 3
+        assert np.array_equal(bp["ref_mask"], bn["ref_mask"])
+
+
+def test_device_resize_native_matches_pil(jpg_root):
+    pil = _batches(_make_ds(jpg_root, None, is_training=False,
+                            device_resize=True))
+    nat = _batches(_make_ds(jpg_root, None, is_training=False,
+                            device_resize=True, native_loader=True))
+    for bp, bn in zip(pil, nat):
+        # decode-only canvases are bit-exact; host-assist downscales
+        # (square > canvas) differ from PIL's fixed-point resize by <= 1
+        d = np.abs(bp["image"].astype(int) - bn["image"].astype(int))
+        assert d.max() <= 1
+        assert np.array_equal(bp["image_size"], bn["image_size"])
+
+
+def test_png_corpus_falls_back_to_pil(png_root):
+    # non-JPEG inputs: native decode reports failure per item and the
+    # pipeline silently serves the PIL result instead
+    pil = _batches(_make_ds(png_root, None, is_training=True))
+    nat = _batches(_make_ds(png_root, None, is_training=True,
+                            native_loader=True))
+    for bp, bn in zip(pil, nat):
+        assert np.array_equal(bp["image"], bn["image"])
