@@ -215,11 +215,20 @@ class ResNetEncoder(nn.Module):
 
 
 class TransformerSelfAttention(nn.Module):
-    """Standard pre/post-projected self-attention used by ViT/CLIP backbones."""
+    """Standard pre/post-projected self-attention used by ViT/CLIP backbones.
+
+    ``fused_qkv`` computes the three projections as ONE ``[h, 3h]`` matmul
+    (param ``qkv`` instead of ``query``/``key``/``value``): measured 1.5×
+    faster than three ``[h, h]`` dots at the b128/seq-50 training shapes
+    (docs/performance.md) — wider N tiles the MXU better. Numerically
+    identical (each output column block is the same dot);
+    ``fuse_qkv_params`` migrates unfused param trees (HF ports,
+    checkpoints) into this layout."""
 
     hidden_size: int
     num_heads: int
     dtype: Any = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias=None):
@@ -230,9 +239,13 @@ class TransformerSelfAttention(nn.Module):
         def heads(y):
             return y.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
 
-        q = heads(nn.Dense(h, dtype=self.dtype, name="query")(x))
-        k = heads(nn.Dense(h, dtype=self.dtype, name="key")(x))
-        v = heads(nn.Dense(h, dtype=self.dtype, name="value")(x))
+        if self.fused_qkv:
+            qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv")(x)
+            q, k, v = (heads(t) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = heads(nn.Dense(h, dtype=self.dtype, name="query")(x))
+            k = heads(nn.Dense(h, dtype=self.dtype, name="key")(x))
+            v = heads(nn.Dense(h, dtype=self.dtype, name="value")(x))
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / (hd ** 0.5)
         if attn_bias is not None:
@@ -248,12 +261,15 @@ class ViTLayer(nn.Module):
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="layernorm_before")(x)
         y = TransformerSelfAttention(self.hidden_size, self.num_heads,
-                                     dtype=self.dtype, name="attention")(y)
+                                     dtype=self.dtype,
+                                     fused_qkv=self.fused_qkv,
+                                     name="attention")(y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="layernorm_after")(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="intermediate")(y)
@@ -310,6 +326,7 @@ class ViTBackbone(nn.Module):
     layer_norm_eps: float = 1e-12
     dtype: Any = jnp.float32
     remat: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -326,7 +343,8 @@ class ViTBackbone(nn.Module):
         layer_cls = nn.remat(ViTLayer) if self.remat else ViTLayer
         for i in range(self.num_layers):
             x = layer_cls(h, self.num_heads, h * self.mlp_ratio,
-                          dtype=self.dtype, name=f"layer_{i}")(x)
+                          dtype=self.dtype, fused_qkv=self.fused_qkv,
+                          name=f"layer_{i}")(x)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          name="layernorm")(x)
         pooled = jnp.tanh(nn.Dense(h, dtype=self.dtype, name="pooler")(x[:, 0]))
@@ -352,6 +370,7 @@ class ViTEncoder(nn.Module):
             patch_size=cfg.patch_size,
             dtype=self.dtype,
             remat=getattr(cfg, "remat", False),
+            fused_qkv=getattr(cfg, "fused_qkv", False),
             name="backbone",
         )(images)
         if cfg.freeze:
@@ -380,12 +399,15 @@ class CLIPLayer(nn.Module):
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias=None):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         y = TransformerSelfAttention(self.hidden_size, self.num_heads,
-                                     dtype=self.dtype, name="attention")(
+                                     dtype=self.dtype,
+                                     fused_qkv=self.fused_qkv,
+                                     name="attention")(
             y, attn_bias=attn_bias)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
@@ -407,6 +429,7 @@ class CLIPVisionBackbone(nn.Module):
     patch_size: int = 32
     dtype: Any = jnp.float32
     remat: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -426,7 +449,8 @@ class CLIPVisionBackbone(nn.Module):
         layer_cls = nn.remat(CLIPLayer) if self.remat else CLIPLayer
         for i in range(self.num_layers):
             x = layer_cls(h, self.num_heads, h * self.mlp_ratio,
-                          dtype=self.dtype, name=f"layer_{i}")(x)
+                          dtype=self.dtype, fused_qkv=self.fused_qkv,
+                          name=f"layer_{i}")(x)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                               name="post_layernorm")(x[:, 0])
         return x, pooled
@@ -451,6 +475,7 @@ class CLIPEncoder(nn.Module):
             patch_size=cfg.patch_size,
             dtype=self.dtype,
             remat=getattr(cfg, "remat", False),
+            fused_qkv=getattr(cfg, "fused_qkv", False),
             name="backbone",
         )(images)
         if cfg.freeze:

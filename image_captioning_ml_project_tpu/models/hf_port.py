@@ -289,3 +289,36 @@ def port_gpt2(sd: Mapping[str, np.ndarray], num_layers: int) -> Dict[str, Any]:
             },
         }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Fused-QKV layout migration
+# ---------------------------------------------------------------------------
+
+
+def fuse_qkv_params(params):
+    """Migrate unfused attention param trees into the ``fused_qkv`` layout.
+
+    Recursively replaces every ``{"query", "key", "value", ...}`` dict (the
+    TransformerSelfAttention layout produced by the ports above and by
+    unfused checkpoints) with ``{"qkv": concat, ...}``: kernels concatenate
+    on the output axis, biases likewise — the single ``[h, 3h]`` matmul
+    computes the identical projections (models/encoders.py). Leaves every
+    other subtree untouched; returns a new tree.
+    """
+    if not isinstance(params, Mapping):
+        return params
+    if all(k in params for k in ("query", "key", "value")):
+        fused = dict(params)
+        q, k, v = (fused.pop(n) for n in ("query", "key", "value"))
+        fused["qkv"] = {
+            "kernel": np.concatenate(
+                [np.asarray(q["kernel"]), np.asarray(k["kernel"]),
+                 np.asarray(v["kernel"])], axis=-1),
+            "bias": np.concatenate(
+                [np.asarray(q["bias"]), np.asarray(k["bias"]),
+                 np.asarray(v["bias"])], axis=-1),
+        }
+        return {kk: fuse_qkv_params(vv) if kk != "qkv" else vv
+                for kk, vv in fused.items()}
+    return {kk: fuse_qkv_params(vv) for kk, vv in params.items()}

@@ -37,6 +37,8 @@ def main():
         c.model.encoder.remat = True
     if os.environ.get("BT_MU_BF16"):
         c.training.adam_mu_dtype = "bfloat16"
+    if os.environ.get("BT_FUSED_QKV"):
+        c.model.encoder.fused_qkv = True
 
     class _Empty:
         examples: list = []

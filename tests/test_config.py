@@ -88,3 +88,37 @@ def test_unknown_keys_ignored():
     d["model"]["bogus"] = 2
     c = config_from_dict(d)
     assert isinstance(c, Config)
+
+
+def test_native_loader_cli_flags_plumb_to_config_and_dataset(tmp_path):
+    """--native_loader/--native_threads/--native_draft reach the Config and
+    the datasets built from it (native/loader.py pipeline)."""
+    from image_captioning_ml_project_tpu.main import (
+        _update_config_from_args, build_argparser)
+    from image_captioning_ml_project_tpu.config import get_default_config
+
+    args = build_argparser().parse_args(
+        ["--mode", "eval", "--native_loader", "--native_threads", "3",
+         "--native_draft"])
+    config = get_default_config()
+    _update_config_from_args(config, args)
+    assert config.native_loader is True
+    assert config.native_threads == 3
+    assert config.native_draft is True
+
+    from image_captioning_ml_project_tpu.data.coco import build_coco_datasets
+    from image_captioning_ml_project_tpu.data.synthetic import (
+        make_synthetic_coco)
+    from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
+
+    root = str(tmp_path / "coco")
+    make_synthetic_coco(root, num_images=2, captions_per_image=1,
+                        image_size=32, splits=["train", "val"])
+    config.data_root = root
+    config.image_size = 32
+    vocab = WordVocab.build(["a b"], threshold=1)
+    train, val = build_coco_datasets(config, vocab)
+    for ds in (train, val):
+        assert ds.native_loader is True
+        assert ds.native_threads == 3
+        assert ds.native_draft is True

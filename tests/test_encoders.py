@@ -226,3 +226,36 @@ def test_freeze_stops_backbone_gradients(rng):
         float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["proj"]))
     assert backbone_norm == 0.0
     assert proj_norm > 0.0
+
+
+class TestFusedQKV:
+    """fused_qkv computes the identical projections as one [h, 3h] matmul
+    (models/encoders.TransformerSelfAttention; migration:
+    hf_port.fuse_qkv_params)."""
+
+    @pytest.mark.parametrize("encoder_type", ["vit", "clip"])
+    def test_fused_matches_unfused_bitwise(self, encoder_type):
+        from image_captioning_ml_project_tpu.models.hf_port import (
+            fuse_qkv_params)
+
+        cfg = EncoderConfig(
+            encoder_type=EncoderType(encoder_type), hidden_size=64,
+            num_layers=2, num_heads=4, patch_size=16, image_size=32,
+            feature_dim=48)
+        cls = {"vit": ViTEncoder, "clip": CLIPEncoder}[encoder_type]
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        m_u = cls(cfg)
+        vars_u = m_u.init(jax.random.PRNGKey(1), imgs)
+        out_u = m_u.apply(vars_u, imgs)
+
+        cfg_f = EncoderConfig(**{**cfg.__dict__, "fused_qkv": True})
+        m_f = cls(cfg_f)
+        vars_f = {"params": fuse_qkv_params(vars_u["params"])}
+        # the fused model's own init produces the fused tree shape
+        ref_shapes = jax.tree_util.tree_map(
+            jnp.shape, m_f.init(jax.random.PRNGKey(2), imgs)["params"])
+        mig_shapes = jax.tree_util.tree_map(jnp.shape, vars_f["params"])
+        assert ref_shapes == mig_shapes
+        out_f = m_f.apply(vars_f, imgs)
+        for k in ("features", "pooled_features"):
+            assert jnp.array_equal(out_u[k], out_f[k]), k
