@@ -320,35 +320,42 @@ class COCOCaptionDataset:
             return out
         if self.is_training:
             # identical RNG consumption to the serial PIL path: reseed per
-            # sample, draw the crop box + flip, then decode in one batch
+            # sample, draw the crop box + flip, then decode in one batch.
+            # Items whose 10 box draws all fail take center_crop_resize in
+            # the PIL path, so they go through the eval transform instead
+            # (each item is decoded exactly once, in its own batched call).
             boxes = np.zeros((len(tasks), 4), dtype=np.int32)
             flips = np.zeros(len(tasks), dtype=np.int32)
-            eval_fallback = []
+            box_idx, eval_idx = [], []
             for j, ((idx, sample_seed), buf) in enumerate(zip(tasks, bufs)):
-                rng = np.random.RandomState(sample_seed)
                 wh = nl.probe(buf)
                 if wh is None:
-                    boxes[j] = (0, 0, -1, -1)  # poison -> native error path
-                    continue
+                    continue  # st stays -1 -> PIL fallback below
+                rng = np.random.RandomState(sample_seed)
                 box = draw_crop_box(wh[0], wh[1], rng)
                 flips[j] = int(rng.rand() < 0.5)
                 if box is None:
-                    eval_fallback.append(j)
-                    boxes[j] = (0, 0, wh[0], wh[1])  # full-frame crop
+                    eval_idx.append(j)
                 else:
                     boxes[j] = box
-            imgs, st = nl.decode_train_batch(bufs, boxes, flips,
-                                             self.image_size, n_threads=nt)
-            for j in eval_fallback:
-                # PIL-path fallback is center_crop_resize, not a full-frame
-                # squash — redo those few natively with the eval transform
-                img1, st1 = nl.decode_eval_batch([bufs[j]], self.image_size,
-                                                 draft=False, n_threads=1)
-                if st1[0] == 0:
-                    imgs[j] = img1[0][:, ::-1] if flips[j] else img1[0]
-                    st[j] = 0
-                else:
-                    st[j] = -1
+                    box_idx.append(j)
+            size = self.image_size
+            imgs = np.empty((len(tasks), size, size, 3), dtype=np.uint8)
+            st = np.full(len(tasks), -1, dtype=np.int32)
+            if box_idx:
+                out_b, st_b = nl.decode_train_batch(
+                    [bufs[j] for j in box_idx], boxes[box_idx],
+                    flips[box_idx], size, n_threads=nt)
+                imgs[box_idx] = out_b
+                st[box_idx] = st_b
+            if eval_idx:
+                out_e, st_e = nl.decode_eval_batch(
+                    [bufs[j] for j in eval_idx], size, draft=False,
+                    n_threads=nt)
+                for pos, j in enumerate(eval_idx):
+                    imgs[j] = (out_e[pos][:, ::-1] if flips[j]
+                               else out_e[pos])
+                    st[j] = st_e[pos]
             out = []
             for j, (idx, sample_seed) in enumerate(tasks):
                 if st[j] != 0:

@@ -494,9 +494,12 @@ class TransformerDecoder(nn.Module):
 
         pos = state["pos"]
         _c0 = state["lazy"]["layers"][0]
+        # beam width = tiled rows / per-image shared rows ("auto" must fall
+        # back to XLA when a whole beam block can't fit the VMEM scratch)
+        _K = tokens.shape[0] // state["shared"]["layers"][0]["mem_k"].shape[0]
         kernel = resolve_decode_kernel(
             self.config.decode_kernel, cache_len=_c0["k"].shape[1],
-            width=_c0["k"].shape[2], dtype=_c0["k"].dtype)
+            width=_c0["k"].shape[2], dtype=_c0["k"].dtype, beam_size=_K)
         ancestry = state["lazy"].get("ancestry")  # set by beam search only
         anc_local = None
         if ancestry is not None:

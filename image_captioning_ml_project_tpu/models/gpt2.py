@@ -380,20 +380,24 @@ class GPT2Decoder(nn.Module):
         return {"lazy": {"layers": layers}, "shared": shared,
                 "pos": jnp.zeros((), dtype=jnp.int32)}
 
-    def _resolve_kernel(self, cache=None) -> str:
+    def _resolve_kernel(self, cache=None, beam_size: int = 1) -> str:
         from ..ops.pallas_decode import resolve_decode_kernel
 
         if cache is None:
             return resolve_decode_kernel(self.config.decode_kernel)
         return resolve_decode_kernel(
             self.config.decode_kernel, cache_len=cache["k"].shape[1],
-            width=cache["k"].shape[2], dtype=cache["k"].dtype)
+            width=cache["k"].shape[2], dtype=cache["k"].dtype,
+            beam_size=beam_size)
 
     def step(self, state: Dict[str, Any],
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         pos = state["pos"]
         P = self.prefix_length
-        kernel = self._resolve_kernel(state["lazy"]["layers"][0])
+        kernel = self._resolve_kernel(
+            state["lazy"]["layers"][0],
+            beam_size=(tokens.shape[0]
+                       // state["shared"]["layers"][0]["pk"].shape[0]))
         ancestry = state["lazy"].get("ancestry")  # set by beam search only
         anc_local = None
         if ancestry is not None:

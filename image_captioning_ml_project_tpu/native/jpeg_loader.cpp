@@ -219,8 +219,11 @@ int eval_one(const uint8_t* buf, size_t len, int size, int draft_target,
   if (rc != 0) return rc;
   if (d.w <= 0 || d.h <= 0) return -3;
   const double scale = static_cast<double>(size) / std::min(d.w, d.h);
-  const int rw = std::max(size, static_cast<int>(std::lround(d.w * scale)));
-  const int rh = std::max(size, static_cast<int>(std::lround(d.h * scale)));
+  // nearbyint under the default FE_TONEAREST mode rounds half-to-even,
+  // matching Python round() in the PIL path (center_crop_resize) — lround
+  // would round 248.5 up and shift the center crop by a column
+  const int rw = std::max(size, static_cast<int>(std::nearbyint(d.w * scale)));
+  const int rh = std::max(size, static_cast<int>(std::nearbyint(d.h * scale)));
   std::vector<uint8_t> resized(static_cast<size_t>(rw) * rh * 3);
   resize_rect(d.pix.data(), d.w, d.h, 0, 0, d.w, d.h, resized.data(), rw, rh);
   const int top = (rh - size) / 2, left = (rw - size) / 2;

@@ -52,20 +52,21 @@ _SCRATCH_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def fused_decode_supported(cache_len: int, width: int,
-                           dtype=jnp.bfloat16) -> bool:
+                           dtype=jnp.bfloat16, beam_size: int = 1) -> bool:
     """Whether the fused kernel's Mosaic constraints hold for this decoder:
     the lane (feature) axis of the HBM cache DMA slices must be a whole
-    number of 128-lane tiles, the position axis 8-aligned, and at least one
-    beam row's double-buffered scratch must fit the VMEM budget. Small
-    models (e.g. test/demo configs with width 16) must take the XLA path."""
+    number of 128-lane tiles, the position axis 8-aligned, and one image's
+    whole beam block (the kernel's minimum grid cell, ``beam_size`` rows)
+    of double-buffered scratch must fit the VMEM budget. Small models
+    (e.g. test/demo configs with width 16) must take the XLA path."""
     return (width % 128 == 0 and cache_len % 8 == 0
-            and 4 * cache_len * width * jnp.dtype(dtype).itemsize
+            and beam_size * 4 * cache_len * width * jnp.dtype(dtype).itemsize
             <= _SCRATCH_VMEM_BUDGET)
 
 
 def resolve_decode_kernel(mode: str, *, cache_len: Optional[int] = None,
                           width: Optional[int] = None,
-                          dtype=jnp.bfloat16) -> str:
+                          dtype=jnp.bfloat16, beam_size: int = 1) -> str:
     """Map DecoderConfig.decode_kernel to a concrete step implementation.
 
     "auto" uses the fused Pallas kernel on a single TPU chip and the
@@ -82,7 +83,8 @@ def resolve_decode_kernel(mode: str, *, cache_len: Optional[int] = None,
         if jax.default_backend() == "tpu" and (jax.device_count() == 1
                                                or multi_ok):
             if (cache_len is not None and width is not None
-                    and not fused_decode_supported(cache_len, width, dtype)):
+                    and not fused_decode_supported(cache_len, width, dtype,
+                                                   beam_size)):
                 return "xla"
             return "pallas"
         return "xla"

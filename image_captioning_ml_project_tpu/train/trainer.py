@@ -141,12 +141,17 @@ class CaptioningTrainer:
         through (already float features); canvas dicts (device-resident
         preprocessing) resize + normalize on device (ops/resize.py)."""
         if isinstance(inputs, dict):
-            if "image" in inputs:  # {"image": canvas, "image_size": side}
+            # dispatch on "image_size" (the device-resize canvas marker,
+            # CLAUDE.md conventions) — a plain {"image": uint8} dict just
+            # normalizes like the array path
+            if "image_size" in inputs:
                 from ..ops.resize import resize_normalize
 
                 return resize_normalize(inputs["image"],
                                         inputs["image_size"],
                                         self.config.image_size)
+            if "image" in inputs:
+                return normalize_images(inputs["image"])
             return inputs
         return normalize_images(inputs)
 

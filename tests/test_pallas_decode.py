@@ -78,6 +78,15 @@ def test_fused_decode_supported_shapes():
     assert not fused_decode_supported(24, 16)       # tiny demo width
     assert not fused_decode_supported(20, 768)      # unaligned cache
     assert not fused_decode_supported(8192, 768)    # cache too long for VMEM
+    # the kernel's minimum grid cell is one image's WHOLE beam block: a
+    # cache that fits one row but not beam_size rows must fall back too
+    # (otherwise 'auto' would crash in _fused_exec instead of degrading)
+    assert fused_decode_supported(1024, 768, beam_size=1)
+    assert not fused_decode_supported(1024, 768, beam_size=5)
+    from image_captioning_ml_project_tpu.ops.pallas_decode import (
+        resolve_decode_kernel)
+    assert resolve_decode_kernel(
+        "auto", cache_len=1024, width=768, beam_size=5) == "xla"
 
 
 def test_kernel_vmem_budget(monkeypatch):
