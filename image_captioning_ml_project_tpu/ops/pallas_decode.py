@@ -190,6 +190,16 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
         p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, P8, NH), 1)
         s_pre = jnp.where(p_ids < P, s_pre, _NEG_INF)
 
+    def wait_puts(sl):
+        # drain a slot's append puts (byte counts match the [R, 8, H]
+        # window copies started below; offsets are irrelevant to the wait)
+        pltpu.make_async_copy(
+            kvm.at[sl, :, pl.ds(0, 8), :],
+            kc_out.at[pl.ds(0, R), pl.ds(0, 8), :], sems.at[sl, 2]).wait()
+        pltpu.make_async_copy(
+            vvm.at[sl, :, pl.ds(0, 8), :],
+            vc_out.at[pl.ds(0, R), pl.ds(0, 8), :], sems.at[sl, 3]).wait()
+
     # --- suffix: select each (row, position)'s ancestry candidate ONCE --
     # (K cheap bf16 select passes; scoring/weighting then run single-pass)
     load_k.wait()
@@ -198,6 +208,13 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     # prefetch the next cell's cache rows while this cell computes
     @pl.when(cell + 1 < ncells)
     def _():
+        # the prefetch overwrites kvm/vvm[1-slot], which the previous
+        # cell's still-in-flight append put reads from — drain it first
+        # (deferred-put scheme: puts are waited here or by the last cell,
+        # never by the cell that started them)
+        @pl.when(cell >= 1)
+        def _():
+            wait_puts(1 - slot)
         start_load(cell + 1, 1 - slot)
 
     anc = anc_ref[:]                                           # [R, S, 1]
@@ -269,10 +286,18 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
         vc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[slot, 3])
     put_k.start()
     put_v.start()
-    # the puts must land before this slot's buffer is reloaded two cells
-    # from now, and before the host sees the aliased caches at kernel end
-    put_k.wait()
-    put_v.wait()
+    # Deferred drain: the puts must land before this slot's VMEM buffer is
+    # reloaded two cells from now (waited by the next cell just before its
+    # prefetch overwrites the slot) and before the host sees the aliased
+    # caches at kernel end (the last cell drains both slots) — so each
+    # cell's append DMA overlaps the next cell's compute instead of
+    # blocking its own.
+    @pl.when(cell == ncells - 1)
+    def _():
+        @pl.when(ncells > 1)
+        def _():
+            wait_puts(1 - slot)
+        wait_puts(slot)
 
 
 def fused_beam_decode_attention(
