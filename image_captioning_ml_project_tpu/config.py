@@ -289,6 +289,12 @@ class Config:
     native_loader: bool = False
     native_threads: int = 0
     native_draft: bool = False
+    # Fold the ImageNet normalization affine into the ViT/CLIP patch-embed
+    # matmul (models/encoders.PatchEmbed): the jitted step then consumes raw
+    # uint8 images and the normalized f32 image is never materialized in
+    # HBM. Encoders without a stride==kernel patch conv (ResNet/Swin/object
+    # regions) keep the explicit on-device normalize regardless.
+    fold_normalize: bool = False
 
 
 def get_default_config() -> Config:

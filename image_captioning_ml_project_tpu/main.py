@@ -76,6 +76,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         help="DCT-scaled native eval decode (fastest; "
                              "device_resize-grade resampling instead of "
                              "exact PIL parity)")
+    parser.add_argument("--fold_normalize", action="store_true",
+                        help="Fold ImageNet normalization into the ViT/CLIP "
+                             "patch-embed matmul: the jitted step consumes "
+                             "raw uint8 and the normalized image is never "
+                             "materialized (models/encoders.PatchEmbed)")
     return parser
 
 
@@ -109,6 +114,8 @@ def _update_config_from_args(config: Config, args) -> None:
         config.native_threads = args.native_threads
     if getattr(args, "native_draft", False):
         config.native_draft = True
+    if getattr(args, "fold_normalize", False):
+        config.fold_normalize = True
 
 
 def setup_tokenizer(config: Config, vocab_path: Optional[str] = None,

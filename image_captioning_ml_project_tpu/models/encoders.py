@@ -288,6 +288,16 @@ class PatchEmbed(nn.Module):
     ports (hf_port) and existing checkpoints are untouched: the patch
     vector is flattened in (kh, kw, c) order, matching the kernel reshape
     ``(P*P*C, H)``.
+
+    **Folded normalization** (config.fold_normalize): when handed raw
+    ``uint8`` images, the ImageNet affine ``(x/255 - mean)/std`` (the
+    reference transform, src/main.py:143-144) is folded into the matmul —
+    the kernel's per-input-channel columns absorb ``1/(255*std_c)`` and
+    the whole-patch shift ``sum_pc (-mean_c/std_c) * W[p,c,:]`` lands as a
+    constant token bias. The normalized image is never materialized and
+    the patch dot reads uint8-exact bf16 pixels (integers 0-255 are exact
+    in bf16). Valid precisely because the patch conv is stride==kernel
+    VALID (no padding pixels exist to break the affine fold).
     """
 
     hidden_size: int
@@ -301,12 +311,27 @@ class PatchEmbed(nn.Module):
         P = self.patch_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (P, P, C, self.hidden_size))
+        fold = jnp.issubdtype(images.dtype, jnp.integer)
+        if fold:
+            from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
+
+            scale = 1.0 / (255.0 * jnp.asarray(IMAGENET_STD, jnp.float32))
+            shift = -(jnp.asarray(IMAGENET_MEAN, jnp.float32)
+                      / jnp.asarray(IMAGENET_STD, jnp.float32))
+            kmat = (kernel * scale[None, None, :, None]).astype(self.dtype)
+            # every patch token sees the same shifted constant: fold it
+            # into a bias vector (present even for bias-free CLIP embeds)
+            shift_bias = jnp.einsum(
+                "c,pqch->h", shift, kernel.astype(jnp.float32))
+        else:
+            kmat = kernel.astype(self.dtype)
         gh, gw = Hi // P, Wi // P
         x = images[:, :gh * P, :gw * P]  # conv-VALID drops the remainder
         x = x.reshape(B, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(B, gh, gw, P * P * C).astype(self.dtype)
-        y = jnp.dot(x, kernel.reshape(P * P * C, self.hidden_size)
-                    .astype(self.dtype))
+        y = jnp.dot(x, kmat.reshape(P * P * C, self.hidden_size))
+        if fold:
+            y = y + shift_bias.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.hidden_size,))

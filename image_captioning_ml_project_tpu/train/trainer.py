@@ -139,7 +139,10 @@ class CaptioningTrainer:
     def _prepare_inputs(self, inputs):
         """Traced: uint8 images -> normalized floats; region dicts pass
         through (already float features); canvas dicts (device-resident
-        preprocessing) resize + normalize on device (ops/resize.py)."""
+        preprocessing) resize + normalize on device (ops/resize.py). With
+        ``config.fold_normalize`` on a ViT/CLIP encoder, raw uint8 passes
+        straight to the model — the patch embed folds the affine into its
+        matmul (models/encoders.PatchEmbed)."""
         if isinstance(inputs, dict):
             # dispatch on "image_size" (the device-resize canvas marker,
             # CLAUDE.md conventions) — a plain {"image": uint8} dict just
@@ -151,9 +154,18 @@ class CaptioningTrainer:
                                         inputs["image_size"],
                                         self.config.image_size)
             if "image" in inputs:
-                return normalize_images(inputs["image"])
+                return self._prepare_inputs(inputs["image"])
+            return inputs
+        if self._fold_normalize():
             return inputs
         return normalize_images(inputs)
+
+    def _fold_normalize(self) -> bool:
+        from ..config import EncoderType
+
+        return (getattr(self.config, "fold_normalize", False)
+                and self.config.model.encoder.encoder_type
+                in (EncoderType.VIT, EncoderType.CLIP))
 
     def _batch_inputs(self, batch):
         """Host: select the model-input arrays from a data batch."""

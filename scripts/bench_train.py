@@ -39,6 +39,8 @@ def main():
         c.training.adam_mu_dtype = "bfloat16"
     if os.environ.get("BT_FUSED_QKV"):
         c.model.encoder.fused_qkv = True
+    if os.environ.get("BT_FOLD_NORM"):
+        c.fold_normalize = True  # uint8 straight into the patch matmul
 
     class _Empty:
         examples: list = []

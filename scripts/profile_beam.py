@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # bench_transformer
 
 
 def parse_trace(log_dir):
@@ -73,15 +74,26 @@ def parse_trace(log_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="beam", choices=["beam", "train"])
+    ap.add_argument("--family", default="flagship",
+                    choices=["flagship", "transformer"],
+                    help="flagship = CLIP+GPT-2+AoA (bench.py); transformer "
+                         "= ViT+Transformer+MHA (bench_transformer.py, "
+                         "Pallas self-attention decode)")
     ap.add_argument("--out", default="/tmp/beam_trace")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
-    from bench import build_flagship
-
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    c, model, batch = build_flagship(on_tpu)
+    if args.family == "transformer":
+        from bench_transformer import build as _build_tr
+
+        c, model, batch = _build_tr("pallas" if on_tpu else "xla",
+                                    on_tpu, None)
+    else:
+        from bench import build_flagship
+
+        c, model, batch = build_flagship(on_tpu)
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(
         rng, (batch, c.image_size, c.image_size, 3), dtype=jnp.float32)

@@ -259,3 +259,57 @@ class TestFusedQKV:
         out_f = m_f.apply(vars_f, imgs)
         for k in ("features", "pooled_features"):
             assert jnp.array_equal(out_u[k], out_f[k]), k
+
+
+class TestFoldNormalize:
+    """config.fold_normalize: raw uint8 images through the ViT/CLIP patch
+    embed with the ImageNet affine folded into the matmul
+    (models/encoders.PatchEmbed) — same result as normalizing first, the
+    normalized image never materialized."""
+
+    @pytest.mark.parametrize("encoder_type", ["vit", "clip"])
+    def test_folded_matches_normalized(self, encoder_type):
+        from image_captioning_ml_project_tpu.data.coco import (
+            normalize_images)
+
+        cfg = EncoderConfig(
+            encoder_type=EncoderType(encoder_type), hidden_size=64,
+            num_layers=2, num_heads=4, patch_size=16, image_size=32,
+            feature_dim=48)
+        cls = {"vit": ViTEncoder, "clip": CLIPEncoder}[encoder_type]
+        u8 = jax.random.randint(
+            jax.random.PRNGKey(0), (2, 32, 32, 3), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+        m = cls(cfg)
+        variables = m.init(jax.random.PRNGKey(1), normalize_images(u8))
+        out_norm = m.apply(variables, normalize_images(u8))
+        out_fold = m.apply(variables, u8)  # same params, raw uint8 input
+        for k in ("features", "pooled_features"):
+            np.testing.assert_allclose(
+                out_fold[k], out_norm[k], rtol=2e-4, atol=2e-4)
+
+    def test_trainer_prepare_inputs_passthrough(self):
+        from image_captioning_ml_project_tpu.config import get_default_config
+        from image_captioning_ml_project_tpu.train.trainer import CaptioningTrainer
+
+        c = get_default_config()
+        c.model.encoder.encoder_type = EncoderType.VIT
+        c.fold_normalize = True
+        t = CaptioningTrainer.__new__(CaptioningTrainer)  # _prepare_inputs only needs .config
+        t.config = c
+        u8 = jnp.zeros((2, 32, 32, 3), dtype=jnp.uint8)
+        out = t._prepare_inputs(u8)
+        assert out.dtype == jnp.uint8  # untouched: the model folds it
+        c.fold_normalize = False
+        assert t._prepare_inputs(u8).dtype == jnp.float32
+
+    def test_non_foldable_encoder_still_normalizes(self):
+        from image_captioning_ml_project_tpu.config import get_default_config
+        from image_captioning_ml_project_tpu.train.trainer import CaptioningTrainer
+
+        c = get_default_config()
+        c.model.encoder.encoder_type = EncoderType.RESNET
+        c.fold_normalize = True
+        t = CaptioningTrainer.__new__(CaptioningTrainer)  # only needs .config for this check
+        t.config = c
+        assert not t._fold_normalize()
