@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import AttentionConfig, DecoderConfig, DecoderType
+from ..ops.pallas_cross import fused_cross_attention, fused_cross_supported
 from ..ops.pallas_decode import fused_beam_decode_attention
 from .attention import build_attention
 from .lstm import StackedLSTM
@@ -312,27 +313,49 @@ class TransformerDecoderLayer(nn.Module):
 
     def init_memory_cache(self, memory):
         """Cross-attention K/V: per-*image* constants (beam-invariant) —
-        kept in the decode state's ``shared`` subtree."""
+        kept in the decode state's ``shared`` subtree. Stored flat
+        ``[B, Sm8, H]`` with the memory axis padded to a multiple of 8
+        (Mosaic sublane alignment for the fused cross-attention kernel;
+        the padded rows are masked by the decode-time ``mem_pad``)."""
         mem_k, mem_v = self.cross_attn.project_kv(memory)
-        return {"mem_k": mem_k, "mem_v": mem_v}
+        B, S = mem_k.shape[:2]
+        S8 = -(-S // 8) * 8
+        mk = mem_k.reshape(B, S, self.hidden_dim)
+        mv = mem_v.reshape(B, S, self.hidden_dim)
+        if S8 != S:
+            mk = jnp.pad(mk, ((0, 0), (0, S8 - S), (0, 0)))
+            mv = jnp.pad(mv, ((0, 0), (0, S8 - S), (0, 0)))
+        return {"mem_k": mk, "mem_v": mv}
 
-    def _cross_attend_shared(self, x, mem_k, mem_v, memory_key_padding_mask):
+    def _cross_attend_shared(self, x, mem_k, mem_v, memory_key_padding_mask,
+                             kernel="xla"):
         """Cross-attention against per-image memory: x [Bk, 1, H] with
-        mem_k/mem_v [B, S, nh, hd] shared across the Bk = B*K beam tiles."""
+        mem_k/mem_v flat [B, Sm8, H] shared across the Bk = B*K beam
+        tiles. ``kernel="pallas"`` runs the fused grid-cell kernel
+        (ops/pallas_cross.py) when the shapes support it."""
         Bk = x.shape[0]
-        B = mem_k.shape[0]
+        B, Sm8, H = mem_k.shape
         K = Bk // B
         nh = self.num_heads
         hd = self.hidden_dim // nh
+        if kernel == "pallas" and fused_cross_supported(Sm8, H,
+                                                        mem_k.dtype):
+            q = self.cross_attn.q_proj(x)[:, 0, :]
+            out = fused_cross_attention(
+                q, mem_k, mem_v, memory_key_padding_mask,
+                num_heads=nh, beam_size=K, scale=1.0 / (hd ** 0.5))
+            return self.cross_attn.out_proj(out[:, None, :])
+        mkh = mem_k.reshape(B, Sm8, nh, hd)
+        mvh = mem_v.reshape(B, Sm8, nh, hd)
         q = self.cross_attn._heads(self.cross_attn.q_proj(x))  # [Bk,1,nh,hd]
         qg = q.reshape(B, K, nh, hd)
-        scores = jnp.einsum("bgnd,bsnd->bgns", qg, mem_k,
+        scores = jnp.einsum("bgnd,bsnd->bgns", qg, mkh,
                             preferred_element_type=jnp.float32) / (hd ** 0.5)
         if memory_key_padding_mask is not None:
             scores = jnp.where(
                 memory_key_padding_mask[:, None, None, :], _NEG_INF, scores)
         w = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bgns,bsnd->bgnd", w.astype(mem_v.dtype), mem_v)
+        out = jnp.einsum("bgns,bsnd->bgnd", w.astype(mvh.dtype), mvh)
         return self.cross_attn.out_proj(
             out.reshape(Bk, 1, self.hidden_dim))
 
@@ -405,7 +428,7 @@ class TransformerDecoderLayer(nn.Module):
 
         x = self.norm1(x + y)
         y = self._cross_attend_shared(x, mem["mem_k"], mem["mem_v"],
-                                      memory_key_padding_mask)
+                                      memory_key_padding_mask, kernel=kernel)
         x = self.norm2(x + y)
         y = self._ffn(x, True)
         x = self.norm3(x + y)
@@ -481,10 +504,18 @@ class TransformerDecoder(nn.Module):
         layer_caches = [l.init_layer_cache(memory, max_length)
                         for l in self.layers]
         mem_caches = [l.init_memory_cache(memory) for l in self.layers]
+        # memory K/V are stored 8-row-padded (init_memory_cache); the pad
+        # rows are masked here so both decode paths ignore them
+        S = memory.shape[1]
+        S8 = -(-S // 8) * 8
+        mem_pad = ~mem_mask.astype(bool)
+        if S8 != S:
+            mem_pad = jnp.pad(mem_pad, ((0, 0), (0, S8 - S)),
+                              constant_values=True)
         return {
             "lazy": {"layers": layer_caches},
             "shared": {"layers": mem_caches,
-                       "mem_pad": ~mem_mask.astype(bool)},
+                       "mem_pad": mem_pad},
             "pos": jnp.zeros((), dtype=jnp.int32),
         }
 
