@@ -55,16 +55,17 @@ def _kernel(q_ref, mk_ref, mv_ref, mask_ref, out_ref,
             scale: float):
     """One grid cell: G images x K beams = R rows against [G, Sm, H] memory.
 
-    q_ref    [R, H]       query rows (model dtype)
+    q_ref    [G, K, H]    query rows (model dtype); the (K, H) trailing
+                          dims match the full array so Mosaic accepts any
+                          G (R = G*K need not be sublane-aligned)
     mk_ref   [G, Sm, H]   per-image memory keys (flat heads)
     mv_ref   [G, Sm, H]   per-image memory values
     mask_ref [G, Sm, 1]   int32: nonzero = masked (padding) position
-    out_ref  [R, H]       attention mix (pre-out_proj)
+    out_ref  [G, K, H]    attention mix (pre-out_proj)
     """
     dt = mv_ref.dtype
     sdt = jnp.float32  # f32 products of bf16 operands are exact
-    q = q_ref[:].astype(sdt)
-    q4 = q.reshape(G, K, H)
+    q4 = q_ref[:].astype(sdt)
 
     hd = H // NH
     lane = jax.lax.broadcasted_iota(jnp.int32, (H, NH), 0)
@@ -111,7 +112,7 @@ def _kernel(q_ref, mk_ref, mv_ref, mask_ref, out_ref,
         mv_j = mv_ref[:, j0:j0 + sb, :].astype(jnp.float32)
         acc = acc + jnp.sum(
             w_j.reshape(G, K, sb, H) * mv_j[:, None], axis=2).reshape(R, H)
-    out_ref[:] = acc.astype(out_ref.dtype)
+    out_ref[:] = acc.reshape(G, K, H).astype(out_ref.dtype)
 
 
 def fused_cross_attention(
@@ -158,20 +159,23 @@ def fused_cross_attention(
 
     kernel = functools.partial(
         _kernel, K=K, NH=NH, Sm=Sm, H=H, G=G, R=R, scale=scale)
+    # q/out ride as [B, K, H]: the trailing (K, H) block dims equal the
+    # full array dims, so the Mosaic block-shape rule holds for any G
+    # (G*K rows per cell need not be a sublane multiple).
     out = pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((R, H), lambda i: (i, 0)),            # q
+            pl.BlockSpec((G, K, H), lambda i: (i, 0, 0)),      # q
             pl.BlockSpec((G, Sm, H), lambda i: (i, 0, 0)),     # mem_k
             pl.BlockSpec((G, Sm, H), lambda i: (i, 0, 0)),     # mem_v
             pl.BlockSpec((G, Sm, 1), lambda i: (i, 0, 0)),     # mask
         ],
-        out_specs=pl.BlockSpec((R, H), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Bk, H), q.dtype),
+        out_specs=pl.BlockSpec((G, K, H), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, K, H), q.dtype),
         interpret=interpret,
-    )(q, mem_k, mem_v, mask)
-    return out
+    )(q.reshape(B, K, H), mem_k, mem_v, mask)
+    return out.reshape(Bk, H)
 
 
 def reference_cross_attention(q, mem_k, mem_v, pad_mask, *, num_heads: int,
