@@ -147,6 +147,41 @@ def fused_cross_attention(
     else:
         mask = pad_mask.astype(jnp.int32).reshape(B, Sm, 1)
 
+    exec_fn = functools.partial(
+        _cross_exec, K=K, NH=NH, Sm=Sm, H=H, scale=scale,
+        block_images=block_images, interpret=interpret)
+    operands = (q.reshape(B, K, H), mem_k, mem_v, mask)
+
+    # Multi-chip: same contract as the decode kernel — GSPMD cannot
+    # partition a pallas custom call, so under ``decode_mesh`` run one
+    # shard-local kernel per chip over the data axis (the grid is
+    # image-parallel; memory K/V are per-image, so shards are
+    # self-contained).
+    from .pallas_decode import current_decode_mesh
+    mesh_ctx, axis = current_decode_mesh()
+    if mesh_ctx is not None and mesh_ctx.shape.get(axis, 1) > 1:
+        if B % mesh_ctx.shape[axis]:
+            raise ValueError(
+                f"fused cross-attention under a {dict(mesh_ctx.shape)} "
+                f"mesh needs the image batch ({B}) divisible by the "
+                f"'{axis}' axis ({mesh_ctx.shape[axis]}).")
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        spec3 = _P(axis, None, None)
+        out = shard_map(exec_fn, mesh=mesh_ctx,
+                        in_specs=(spec3, spec3, spec3, spec3),
+                        out_specs=spec3, check_rep=False)(*operands)
+    else:
+        out = exec_fn(*operands)
+    return out.reshape(Bk, H)
+
+
+def _cross_exec(q3, mem_k, mem_v, mask, *, K: int, NH: int, Sm: int,
+                H: int, scale: float, block_images: Optional[int],
+                interpret: bool) -> jnp.ndarray:
+    """Single-shard kernel launch: q3 [B, K, H] -> [B, K, H]."""
+    B = q3.shape[0]
     itemsize = jnp.dtype(mem_k.dtype).itemsize
     if block_images is None:
         # pipelined mem blocks are double-buffered: 2 buffers x 2 arrays
@@ -162,7 +197,7 @@ def fused_cross_attention(
     # q/out ride as [B, K, H]: the trailing (K, H) block dims equal the
     # full array dims, so the Mosaic block-shape rule holds for any G
     # (G*K rows per cell need not be a sublane multiple).
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=[
@@ -172,10 +207,9 @@ def fused_cross_attention(
             pl.BlockSpec((G, Sm, 1), lambda i: (i, 0, 0)),     # mask
         ],
         out_specs=pl.BlockSpec((G, K, H), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, K, H), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, K, H), q3.dtype),
         interpret=interpret,
-    )(q.reshape(B, K, H), mem_k, mem_v, mask)
-    return out.reshape(Bk, H)
+    )(q3, mem_k, mem_v, mask)
 
 
 def reference_cross_attention(q, mem_k, mem_v, pad_mask, *, num_heads: int,

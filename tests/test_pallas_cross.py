@@ -121,6 +121,44 @@ def test_transformer_step_cross_pallas_matches_xla(wide_transformer):
         toks = jnp.argmax(lx, axis=-1).astype(jnp.int32)
 
 
+def test_dp8_transformer_beam_cross_kernel_token_identical(wide_transformer):
+    """Under a dp8-sharded batch with ``decode_mesh`` active, the
+    Transformer decode — self-attention through the decode kernel AND
+    cross-attention through this kernel, each shard_mapped per chip —
+    must be token-identical to the single-device XLA path."""
+    from image_captioning_ml_project_tpu.ops.pallas_decode import decode_mesh
+    from image_captioning_ml_project_tpu.parallel.mesh import (
+        MeshConfig, batch_sharding, create_mesh)
+
+    build, variables, feats = wide_transformer
+    B, L, K = 4, 14, 5
+    mesh = create_mesh(MeshConfig(data_parallel=4, model_parallel=1),
+                       devices=jax.devices()[:4])
+
+    def run(dec, feats_in):
+        state = dec.apply(variables, feats_in, L, method=dec.init_cache)
+
+        def step_fn(s, t):
+            return dec.apply(variables, s, t, method=dec.step)
+
+        return beam_search(step_fn, state, B, K, bos_token_id=1,
+                           eos_token_id=2, pad_token_id=0, max_length=L,
+                           length_penalty=0.8)
+
+    dec_x = build("xla")
+    res_single = jax.jit(lambda f: run(dec_x, f))(feats)
+
+    dec_p = build("pallas")
+    feats_sharded = {
+        k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+        for k, v in feats.items()}
+    with decode_mesh(mesh, "data"):
+        res_dp = jax.jit(lambda f: run(dec_p, f), keep_unused=True)(
+            feats_sharded)
+    np.testing.assert_array_equal(_np(res_dp.tokens),
+                                  _np(res_single.tokens))
+
+
 def test_transformer_beam_cross_pallas_matches_xla(wide_transformer):
     build, variables, feats = wide_transformer
     B, L, K = 4, 14, 5
