@@ -274,10 +274,13 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
     it = iterate_batches(val_ds, batch_size,
                          shuffle=False, drop_last=False, pad_last=True,
                          num_workers=config.num_workers)
+    # one bf16 weight pre-cast for the whole eval run (bit-identical;
+    # removes the per-batch f32->bf16 convert fusions from the program)
+    estate = trainer.eval_state()
     for batch in prefetch(it, mesh=trainer.mesh,
                           data_axis=config.mesh.data_axis):
         with trainer._decode_ctx():
-            tokens = decode_batch(trainer.state, trainer._batch_inputs(batch))
+            tokens = decode_batch(estate, trainer._batch_inputs(batch))
         if reranker is not None:
             imgs = batch["image"]
             if "image_size" in batch:
@@ -351,11 +354,11 @@ def demo(config: Config, checkpoint_path=None, image_path=None,
                               return_all=True)
             return res.tokens[:, : ic.num_candidates]
 
-        cands = candidates_fn(trainer.state, images)
+        cands = candidates_fn(trainer.eval_state(), images)
         tokens = reranker(images, cands)
     else:
         rng = jax.random.PRNGKey(config.seed)
-        tokens = trainer._val_decode_step(trainer.state, images, rng)
+        tokens = trainer._val_decode_step(trainer.eval_state(), images, rng)
     caption = tokenizer.decode(np.asarray(tokens)[0], skip_special_tokens=True)
     logger.info("Generated caption: %s", caption)
     print(caption)

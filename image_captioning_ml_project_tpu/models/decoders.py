@@ -313,10 +313,13 @@ class TransformerDecoderLayer(nn.Module):
 
     def init_memory_cache(self, memory):
         """Cross-attention K/V: per-*image* constants (beam-invariant) —
-        kept in the decode state's ``shared`` subtree. Stored flat
-        ``[B, Sm8, H]`` with the memory axis padded to a multiple of 8
-        (Mosaic sublane alignment for the fused cross-attention kernel;
-        the padded rows are masked by the decode-time ``mem_pad``)."""
+        kept in the decode state's ``shared`` subtree. Keys are stored
+        **pre-transposed** ``[B, H, Sm8]`` so the fused cross-attention
+        kernel's score dot (``Q_exp [K*NH, H] x [H, Sm]``) reads them
+        without an in-kernel transpose; values stay ``[B, Sm8, H]``. The
+        memory axis is padded to a multiple of 8 (Mosaic sublane
+        alignment; padded rows are masked by the decode-time
+        ``mem_pad``)."""
         mem_k, mem_v = self.cross_attn.project_kv(memory)
         B, S = mem_k.shape[:2]
         S8 = -(-S // 8) * 8
@@ -325,16 +328,17 @@ class TransformerDecoderLayer(nn.Module):
         if S8 != S:
             mk = jnp.pad(mk, ((0, 0), (0, S8 - S), (0, 0)))
             mv = jnp.pad(mv, ((0, 0), (0, S8 - S), (0, 0)))
-        return {"mem_k": mk, "mem_v": mv}
+        return {"mem_k": mk.transpose(0, 2, 1), "mem_v": mv}
 
     def _cross_attend_shared(self, x, mem_k, mem_v, memory_key_padding_mask,
                              kernel="xla"):
         """Cross-attention against per-image memory: x [Bk, 1, H] with
-        mem_k/mem_v flat [B, Sm8, H] shared across the Bk = B*K beam
-        tiles. ``kernel="pallas"`` runs the fused grid-cell kernel
-        (ops/pallas_cross.py) when the shapes support it."""
+        mem_k [B, H, Sm8] (pre-transposed) / mem_v [B, Sm8, H] shared
+        across the Bk = B*K beam tiles. ``kernel="pallas"`` runs the
+        fused grid-cell kernel (ops/pallas_cross.py) when the shapes
+        support it."""
         Bk = x.shape[0]
-        B, Sm8, H = mem_k.shape
+        B, H, Sm8 = mem_k.shape
         K = Bk // B
         nh = self.num_heads
         hd = self.hidden_dim // nh
@@ -345,11 +349,11 @@ class TransformerDecoderLayer(nn.Module):
                 q, mem_k, mem_v, memory_key_padding_mask,
                 num_heads=nh, beam_size=K, scale=1.0 / (hd ** 0.5))
             return self.cross_attn.out_proj(out[:, None, :])
-        mkh = mem_k.reshape(B, Sm8, nh, hd)
+        mkh = mem_k.reshape(B, nh, hd, Sm8)
         mvh = mem_v.reshape(B, Sm8, nh, hd)
         q = self.cross_attn._heads(self.cross_attn.q_proj(x))  # [Bk,1,nh,hd]
         qg = q.reshape(B, K, nh, hd)
-        scores = jnp.einsum("bgnd,bsnd->bgns", qg, mkh,
+        scores = jnp.einsum("bgnd,bnds->bgns", qg, mkh,
                             preferred_element_type=jnp.float32) / (hd ** 0.5)
         if memory_key_padding_mask is not None:
             scores = jnp.where(

@@ -35,16 +35,16 @@ def _np(x):
 def test_kernel_matches_oracle(B, K, NH, H, Sm, dt, masked):
     rngs = jax.random.split(jax.random.PRNGKey(B * 100 + Sm), 4)
     q = jax.random.normal(rngs[0], (B * K, H), dt)
-    mk = jax.random.normal(rngs[1], (B, Sm, H), dt)
+    mkt = jax.random.normal(rngs[1], (B, H, Sm), dt)  # pre-transposed keys
     mv = jax.random.normal(rngs[2], (B, Sm, H), dt)
     pad = (jax.random.uniform(rngs[3], (B, Sm)) < 0.25) if masked else None
     if masked:  # never mask a whole row
         pad = pad.at[:, 0].set(False)
     scale = 1.0 / (H // NH) ** 0.5
 
-    got = fused_cross_attention(q, mk, mv, pad, num_heads=NH, beam_size=K,
+    got = fused_cross_attention(q, mkt, mv, pad, num_heads=NH, beam_size=K,
                                 scale=scale, interpret=True)
-    want = reference_cross_attention(q, mk, mv, pad, num_heads=NH,
+    want = reference_cross_attention(q, mkt, mv, pad, num_heads=NH,
                                      beam_size=K, scale=scale)
     tol = 0.02 if dt == jnp.bfloat16 else 1e-5
     np.testing.assert_allclose(_np(got.astype(jnp.float32)),
@@ -54,9 +54,10 @@ def test_kernel_matches_oracle(B, K, NH, H, Sm, dt, masked):
 
 def test_kernel_requires_aligned_memory():
     q = jnp.zeros((2, 128))
-    m = jnp.zeros((2, 7, 128))  # 7 % 8 != 0
+    mkt = jnp.zeros((2, 128, 7))  # 7 % 8 != 0
+    mv = jnp.zeros((2, 7, 128))
     with pytest.raises(ValueError, match="8-aligned"):
-        fused_cross_attention(q, m, m, None, num_heads=2, beam_size=1,
+        fused_cross_attention(q, mkt, mv, None, num_heads=2, beam_size=1,
                               scale=1.0, interpret=True)
 
 
