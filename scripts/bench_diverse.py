@@ -47,6 +47,11 @@ def main():
         rng, (batch, c.image_size, c.image_size, 3), dtype=jnp.float32)
     caps = jnp.zeros((batch, 8), dtype=jnp.int32)
     variables = model.init(rng, images, caps)
+    # serving weights live in bf16: pre-cast once (bit-identical; see
+    # utils/amp.py)
+    from image_captioning_ml_project_tpu.utils.amp import cast_float_params
+
+    variables = cast_float_params(variables)
 
     L = c.inference.max_length
     mc = c.model

@@ -91,6 +91,11 @@ def main():
     rng = jax.random.PRNGKey(0)
     init_img = jnp.zeros((2, 224, 224, 3), jnp.float32)
     variables = model.init(rng, init_img, jnp.zeros((2, 8), jnp.int32))
+    # serving weights live in bf16: pre-cast once (bit-identical; see
+    # utils/amp.py)
+    from image_captioning_ml_project_tpu.utils.amp import cast_float_params
+
+    variables = cast_float_params(variables)
     L = c.inference.max_length
     mc = c.model
 

@@ -61,6 +61,11 @@ def main():
     images = jax.random.normal(
         rng, (batch, c.image_size, c.image_size, 3), dtype=jnp.float32)
     variables = model.init(rng, images, jnp.zeros((batch, 8), jnp.int32))
+    # serving weights live in bf16: pre-cast once (bit-identical; see
+    # utils/amp.py)
+    from image_captioning_ml_project_tpu.utils.amp import cast_float_params
+
+    variables = cast_float_params(variables)
     L = c.inference.max_length
     mc = c.model
 

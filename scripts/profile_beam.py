@@ -106,6 +106,11 @@ def main():
 
         caps = jnp.zeros((batch, 8), dtype=jnp.int32)
         variables = model.init(rng, images, caps)
+        # match the benches: serving weights pre-cast to bf16 once
+        from image_captioning_ml_project_tpu.utils.amp import (
+            cast_float_params)
+
+        variables = cast_float_params(variables)
 
         @jax.jit
         def prog(variables, images):

@@ -15,7 +15,8 @@ from image_captioning_ml_project_tpu.config import (
     EncoderType,
     get_default_config,
 )
-from image_captioning_ml_project_tpu.data.coco import build_coco_datasets
+from image_captioning_ml_project_tpu.data.coco import (build_coco_datasets,
+                                                       iterate_batches)
 from image_captioning_ml_project_tpu.data.synthetic import make_synthetic_coco
 from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
 from image_captioning_ml_project_tpu.train.trainer import CaptioningTrainer
@@ -112,6 +113,46 @@ def test_validation_metrics(setup):
     val_loss, metrics = trainer._validate_epoch(0)
     assert np.isfinite(val_loss)
     assert "CIDEr" in metrics
+
+
+def test_eval_state_precast_token_identical(setup):
+    """utils/amp pre-cast equivalence on the real model path: under bf16
+    AMP, decoding with ``eval_state()`` (f32 masters pre-cast to bf16
+    once) must produce the exact tokens and eval loss of the per-call
+    cast (modules cast params at use, so the programs are numerically
+    identical — the pre-cast only removes the convert ops)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg0, vocab, train_ds, val_ds = setup
+    cfg = copy.deepcopy(cfg0)
+    cfg.training.use_amp = True
+    trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    assert trainer.dtype == jnp.bfloat16
+
+    estate = trainer.eval_state()
+    leaves = jax.tree_util.tree_leaves(estate.params)
+    assert all(l.dtype != jnp.float32 for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+
+    batch = next(iter(iterate_batches(val_ds, 8, shuffle=False)))
+    inputs = trainer._batch_inputs(batch)
+    rng = jax.random.PRNGKey(3)
+    toks_f32 = np.asarray(trainer._val_decode_step(trainer.state, inputs,
+                                                   rng))
+    toks_cast = np.asarray(trainer._val_decode_step(estate, inputs, rng))
+    np.testing.assert_array_equal(toks_f32, toks_cast)
+
+    first_ref = batch["caption_tokens"][:, 0, :]
+    first_mask = batch["attention_mask"][:, 0, :]
+    valid = jnp.ones(8, dtype=bool)
+    l1, n1 = trainer._eval_loss_step(trainer.state, inputs, first_ref,
+                                     first_mask, valid)
+    l2, n2 = trainer._eval_loss_step(estate, inputs, first_ref,
+                                     first_mask, valid)
+    assert float(l1) == float(l2) and float(n1) == float(n2)
 
 
 def test_encoder_remat_matches_exact(setup):
