@@ -328,7 +328,12 @@ class TransformerDecoderLayer(nn.Module):
         if S8 != S:
             mk = jnp.pad(mk, ((0, 0), (0, S8 - S), (0, 0)))
             mv = jnp.pad(mv, ((0, 0), (0, S8 - S), (0, 0)))
-        return {"mem_k": mk.transpose(0, 2, 1), "mem_v": mv}
+        # default mask covering the zero-padded tail rows: callers that
+        # pass memory_key_padding_mask=None would otherwise let the pad
+        # keys (score exactly 0) into the softmax denominator
+        tail = jnp.arange(S8) >= S                          # [S8]
+        return {"mem_k": mk.transpose(0, 2, 1), "mem_v": mv,
+                "pad_tail": jnp.broadcast_to(tail, (B, S8))}
 
     def _cross_attend_shared(self, x, mem_k, mem_v, memory_key_padding_mask,
                              kernel="xla"):
@@ -342,19 +347,23 @@ class TransformerDecoderLayer(nn.Module):
         K = Bk // B
         nh = self.num_heads
         hd = self.hidden_dim // nh
+        # same reciprocal-multiply on both paths: x/(hd**0.5) and
+        # x*(1/(hd**0.5)) differ by 1 ulp for non-power-of-two hd, enough
+        # to flip near-tied beam tokens between kernel and fallback
+        scale = 1.0 / (hd ** 0.5)
         if kernel == "pallas" and fused_cross_supported(Sm8, H,
                                                         mem_k.dtype):
             q = self.cross_attn.q_proj(x)[:, 0, :]
             out = fused_cross_attention(
                 q, mem_k, mem_v, memory_key_padding_mask,
-                num_heads=nh, beam_size=K, scale=1.0 / (hd ** 0.5))
+                num_heads=nh, beam_size=K, scale=scale)
             return self.cross_attn.out_proj(out[:, None, :])
         mkh = mem_k.reshape(B, nh, hd, Sm8)
         mvh = mem_v.reshape(B, Sm8, nh, hd)
         q = self.cross_attn._heads(self.cross_attn.q_proj(x))  # [Bk,1,nh,hd]
         qg = q.reshape(B, K, nh, hd)
         scores = jnp.einsum("bgnd,bnds->bgns", qg, mkh,
-                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+                            preferred_element_type=jnp.float32) * scale
         if memory_key_padding_mask is not None:
             scores = jnp.where(
                 memory_key_padding_mask[:, None, None, :], _NEG_INF, scores)
@@ -431,6 +440,10 @@ class TransformerDecoderLayer(nn.Module):
                 v_cache, v_new[:, None, :], pos, axis=1)
 
         x = self.norm1(x + y)
+        if memory_key_padding_mask is None:
+            # the memory axis is stored zero-padded to Sm8: without a
+            # caller mask the pad tail must still be excluded
+            memory_key_padding_mask = mem.get("pad_tail")
         y = self._cross_attend_shared(x, mem["mem_k"], mem["mem_v"],
                                       memory_key_padding_mask, kernel=kernel)
         x = self.norm2(x + y)

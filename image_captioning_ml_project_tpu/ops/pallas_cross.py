@@ -135,28 +135,12 @@ def fused_cross_attention(
         block_images=block_images, interpret=interpret)
     operands = (q.reshape(B, K, H), mem_kt, mem_v, mask)
 
-    # Multi-chip: same contract as the decode kernel — GSPMD cannot
-    # partition a pallas custom call, so under ``decode_mesh`` run one
-    # shard-local kernel per chip over the data axis (the grid is
-    # image-parallel; memory K/V are per-image, so shards are
-    # self-contained).
-    from .pallas_decode import current_decode_mesh
-    mesh_ctx, axis = current_decode_mesh()
-    if mesh_ctx is not None and mesh_ctx.shape.get(axis, 1) > 1:
-        if B % mesh_ctx.shape[axis]:
-            raise ValueError(
-                f"fused cross-attention under a {dict(mesh_ctx.shape)} "
-                f"mesh needs the image batch ({B}) divisible by the "
-                f"'{axis}' axis ({mesh_ctx.shape[axis]}).")
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as _P
-
-        spec3 = _P(axis, None, None)
-        out = shard_map(exec_fn, mesh=mesh_ctx,
-                        in_specs=(spec3, spec3, spec3, spec3),
-                        out_specs=spec3, check_rep=False)(*operands)
-    else:
-        out = exec_fn(*operands)
+    # Multi-chip: same contract as the decode kernel — under an active
+    # ``decode_mesh``, one shard-local kernel launch per chip over the
+    # data axis (memory K/V are per-image, so shards are self-contained).
+    from .pallas_decode import shard_data_parallel
+    out = shard_data_parallel(exec_fn, operands, batch=B,
+                              what="fused cross-attention")
     return out.reshape(Bk, H)
 
 

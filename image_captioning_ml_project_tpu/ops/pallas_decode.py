@@ -369,30 +369,44 @@ def fused_beam_decode_attention(
     operands = (pos_arr, q, k_new[:, None, :], v_new[:, None, :], anc,
                 prefix_k, prefix_v, k_cache, v_cache)
 
+    return shard_data_parallel(exec_fn, operands, batch=B,
+                               what="fused decode", replicated=(0,),
+                               mesh=mesh, data_axis=data_axis)
+
+
+def shard_data_parallel(exec_fn, operands, *, batch: int, what: str,
+                        replicated=(), mesh=None, data_axis=None):
+    """Run a batch-leading kernel launch shard-local per chip when a
+    multi-chip ``decode_mesh`` is active (GSPMD cannot partition a pallas
+    custom call); single-chip and no-mesh calls go straight through.
+
+    Every operand is sharded on its leading (image-batch) axis except the
+    indices in ``replicated`` (e.g. the decode kernel's ``pos`` scalar);
+    output specs derive from ``jax.eval_shape``. The grids are
+    image-parallel and all per-image state is shard-local, so the
+    shard-local calls need no collectives. Shared by the decode kernel
+    and its sibling cross-attention kernel (ops/pallas_cross.py)."""
     mesh_ctx = mesh if mesh is not None else _DECODE_MESH
     axis = data_axis or (_DECODE_AXIS or "data")
-    if mesh_ctx is not None and mesh_ctx.shape.get(axis, 1) > 1 \
-            and B % mesh_ctx.shape[axis]:
+    if mesh_ctx is None or mesh_ctx.shape.get(axis, 1) <= 1:
+        return exec_fn(*operands)
+    if batch % mesh_ctx.shape[axis]:
         raise ValueError(
-            f"fused decode under a {dict(mesh_ctx.shape)} mesh needs the "
-            f"image batch ({B}) divisible by the '{axis}' axis "
+            f"{what} under a {dict(mesh_ctx.shape)} mesh needs the "
+            f"image batch ({batch}) divisible by the '{axis}' axis "
             f"({mesh_ctx.shape[axis]}); round the batch up (pad_last) or "
             f"use decode_kernel='xla'.")
-    if mesh_ctx is not None and mesh_ctx.shape.get(axis, 1) > 1:
-        # Multi-chip: GSPMD cannot partition a pallas custom call, so run
-        # one shard-local kernel per chip over the data axis — the grid is
-        # image-parallel and beam ancestry is image-local, so each shard's
-        # call is self-contained (no collectives). ``pos`` is replicated.
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as _P
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as _P
 
-        bspec = lambda nd: _P(axis, *([None] * (nd - 1)))  # noqa: E731
-        in_specs = (_P(None), bspec(2), bspec(3), bspec(3), bspec(3),
-                    bspec(3), bspec(3), bspec(3), bspec(3))
-        out_specs = (bspec(2), bspec(3), bspec(3))
-        return shard_map(exec_fn, mesh=mesh_ctx, in_specs=in_specs,
-                         out_specs=out_specs, check_rep=False)(*operands)
-    return exec_fn(*operands)
+    bspec = lambda nd: _P(axis, *([None] * (nd - 1)))  # noqa: E731
+    in_specs = tuple(
+        _P(None) if i in replicated else bspec(op.ndim)
+        for i, op in enumerate(operands))
+    outs = jax.eval_shape(exec_fn, *operands)
+    out_specs = jax.tree_util.tree_map(lambda s: bspec(len(s.shape)), outs)
+    return shard_map(exec_fn, mesh=mesh_ctx, in_specs=in_specs,
+                     out_specs=out_specs, check_rep=False)(*operands)
 
 
 # Trace-time mesh context: Flax decoder modules can't carry a Mesh (it is

@@ -488,6 +488,8 @@ class CaptioningTrainer:
             return state
         from ..utils.amp import cast_float_params
 
+        # batch_stats stay f32: BatchNorm consumes running mean/var at
+        # f32 under use_running_average (force_float32_reductions)
         return state.replace(params=cast_float_params(state.params))
 
     # ------------------------------------------------------------------

@@ -101,10 +101,29 @@ def wide_transformer():
     return build, variables, feats
 
 
-def test_transformer_cross_kernel_engages(wide_transformer):
-    """At width 128 with an 8-padded memory axis, the dispatch predicate
-    must accept the fused path (guards against silent fallback)."""
+def test_transformer_cross_kernel_engages(wide_transformer, monkeypatch):
+    """The fused path must actually dispatch end-to-end (not just pass
+    the predicate): spy on fused_cross_attention during a pallas-kernel
+    step and require it was called — guards against a silent XLA
+    fallback that would leave the parity tests trivially green."""
     assert fused_cross_supported(8, 128)  # Sm=7 pads to 8
+
+    from image_captioning_ml_project_tpu.models import decoders as dec_mod
+
+    calls = []
+    real = dec_mod.fused_cross_attention
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(dec_mod, "fused_cross_attention", spy)
+    build, variables, feats = wide_transformer
+    dec_p = build("pallas")
+    state = dec_p.apply(variables, feats, 12, method=dec_p.init_cache)
+    toks = jnp.asarray([1, 5, 9, 12])
+    dec_p.apply(variables, state, toks, method=dec_p.step)
+    assert calls, "fused cross-attention never dispatched on the pallas path"
 
 
 def test_transformer_step_cross_pallas_matches_xla(wide_transformer):

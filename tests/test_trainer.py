@@ -119,8 +119,10 @@ def test_eval_state_precast_token_identical(setup):
     """utils/amp pre-cast equivalence on the real model path: under bf16
     AMP, decoding with ``eval_state()`` (f32 masters pre-cast to bf16
     once) must produce the exact tokens and eval loss of the per-call
-    cast (modules cast params at use, so the programs are numerically
-    identical — the pre-cast only removes the convert ops)."""
+    cast. Params are perturbed first so norm scale/bias are non-trivial
+    (fresh 1.0/0.0 values cast exactly and would hide a wrong cast of
+    the f32-consumed norm params — flax keeps those at f32 precision,
+    so cast_float_params must skip them)."""
     import copy
 
     import jax
@@ -132,10 +134,18 @@ def test_eval_state_precast_token_identical(setup):
     trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
     assert trainer.dtype == jnp.bfloat16
 
+    noise_rng = np.random.RandomState(11)
+    trainer.state = trainer.state.replace(params=jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(
+            noise_rng.standard_normal(a.shape) * 0.05, a.dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        trainer.state.params))
+
     estate = trainer.eval_state()
-    leaves = jax.tree_util.tree_leaves(estate.params)
-    assert all(l.dtype != jnp.float32 for l in leaves
-               if jnp.issubdtype(l.dtype, jnp.floating))
+    # the big cast-at-use weights must be bf16; norm scale/bias stay f32
+    dtypes = [l.dtype for l in jax.tree_util.tree_leaves(estate.params)
+              if jnp.issubdtype(l.dtype, jnp.floating)]
+    assert jnp.bfloat16 in dtypes and jnp.float32 in dtypes
 
     batch = next(iter(iterate_batches(val_ds, 8, shuffle=False)))
     inputs = trainer._batch_inputs(batch)
