@@ -90,7 +90,8 @@ def _gather_state(state, flat_indices):
 
 def greedy_decode(step_fn, init_state, batch_size: int, bos_token_id: int,
                   max_length: int, eos_token_id: Optional[int] = None,
-                  pad_token_id: Optional[int] = None) -> jnp.ndarray:
+                  pad_token_id: Optional[int] = None,
+                  min_length: int = 0) -> jnp.ndarray:
     """Greedy argmax decode. Output [B, max_length]; position 0 is BOS
     (parity with the reference generate loops).
 
@@ -99,23 +100,31 @@ def greedy_decode(step_fn, init_state, batch_size: int, bos_token_id: int,
     reference's HF ``generate`` (which pads finished rows,
     reference: src/models/decoders.py:645-654). SCST relies on this: the
     greedy baseline feeding the on-device CIDEr reward must not carry
-    post-EOS n-grams."""
+    post-EOS n-grams. ``min_length`` suppresses EOS while the emitted
+    length is below it (HF ``MinLengthLogitsProcessor`` applies in greedy
+    mode too; same ``cur_len`` convention as :func:`sample_decode`)."""
     current = jnp.full((batch_size,), bos_token_id, dtype=jnp.int32)
     if eos_token_id is not None and pad_token_id is None:
         pad_token_id = eos_token_id
     done = jnp.zeros((batch_size,), dtype=bool)
 
     def body(carry, _):
-        state, current, done = carry
+        state, current, done, t = carry
         logits, state = step_fn(state, current)
+        if eos_token_id is not None and min_length > 0:
+            logits = jnp.where(
+                (t < min_length)
+                & (jnp.arange(logits.shape[-1]) == eos_token_id)[None, :],
+                _NEG_INF, logits)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if eos_token_id is not None:
             nxt = jnp.where(done, pad_token_id, nxt)
             done = done | (nxt == eos_token_id)
-        return (state, nxt, done), current
+        return (state, nxt, done, t + 1), current
 
-    _, tokens = jax.lax.scan(body, (init_state, current, done), None,
-                             length=max_length)
+    _, tokens = jax.lax.scan(
+        body, (init_state, current, done, jnp.asarray(1)), None,
+        length=max_length)
     return tokens.transpose(1, 0)
 
 
@@ -233,7 +242,7 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
     finish and the search always runs to ``max_length`` — a strictly wider
     search (used by the brute-force-oracle tests).
     """
-    B, K, V_total = batch_size, beam_size, None
+    B, K = batch_size, beam_size
     G = num_beam_groups
     assert K % G == 0, "beam_size must be divisible by num_beam_groups"
     Kg = K // G
@@ -462,7 +471,8 @@ def decode(step_fn, init_state, batch_size: int, inference_config,
     if strategy == "greedy":
         return greedy_decode(step_fn, init_state, batch_size, bos_token_id, L,
                              eos_token_id=eos_token_id,
-                             pad_token_id=pad_token_id)
+                             pad_token_id=pad_token_id,
+                             min_length=ic.min_length)
     if strategy == "nucleus":
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -478,5 +488,7 @@ def decode(step_fn, init_state, batch_size: int, inference_config,
                           num_beam_groups=ic.num_beam_groups,
                           diversity_penalty=ic.diversity_penalty,
                           return_all=return_all)
-        return res.tokens
+        # return_all callers want the candidates AND their scores (e.g.
+        # score-weighted reranking) — hand back the full BeamResult
+        return res if return_all else res.tokens
     raise ValueError(f"Unknown decoding strategy: {strategy}")

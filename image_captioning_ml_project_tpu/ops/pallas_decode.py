@@ -79,7 +79,13 @@ def resolve_decode_kernel(mode: str, *, cache_len: Optional[int] = None,
     the VMEM scratch budget) — explicit "pallas" still raises descriptively
     in the kernel wrapper instead of failing opaquely inside Mosaic."""
     if mode == "auto":
-        multi_ok = _DECODE_MESH is not None  # shard_map path available
+        # shard_map path available only when the announced mesh really has
+        # a >1-sized data axis (an axis-name mismatch or size-1 axis would
+        # otherwise select pallas but skip the shard_map wrap, handing
+        # GSPMD an unpartitionable custom call)
+        multi_ok = (_DECODE_MESH is not None
+                    and _DECODE_MESH.shape.get(_DECODE_AXIS or "data", 1)
+                    > 1)
         if jax.default_backend() == "tpu" and (jax.device_count() == 1
                                                or multi_ok):
             if (cache_len is not None and width is not None
@@ -473,14 +479,18 @@ def _fused_exec(pos_arr, q, k_new3, v_new3, anc, prefix_k, prefix_v,
     while B % G:
         G -= 1
     R = G * K
-    if R * scratch_bytes_per_row > _SCRATCH_VMEM_BUDGET and G == 1:
+    if R * scratch_bytes_per_row > _SCRATCH_VMEM_BUDGET:
+        # auto-sizing never lands here (rows_fit bounds R); reachable with
+        # an explicit block_images, or G == 1 when even one image's K beam
+        # rows overflow — raise descriptively either way instead of dying
+        # inside Mosaic
         raise ValueError(
-            f"fused decode kernel cannot fit one image's beam block in "
+            f"fused decode kernel cannot fit the beam block in "
             f"VMEM: 2x double-buffered K/V scratch needs "
             f"{R * scratch_bytes_per_row / 2**20:.1f} MiB for R={R} rows x "
             f"S={S} cache positions x H={H} ({k_cache.dtype}) against a "
-            f"{_SCRATCH_VMEM_BUDGET / 2**20:.0f} MiB budget. Use a shorter "
-            f"max_length or decode_kernel='xla'.")
+            f"{_SCRATCH_VMEM_BUDGET / 2**20:.0f} MiB budget. Use a smaller "
+            f"block_images, a shorter max_length, or decode_kernel='xla'.")
 
     kernel = functools.partial(
         _kernel, K=K, NH=NH, S=S, P=P, H=H, G=G, R=R, scale=scale,

@@ -90,6 +90,32 @@ def test_greedy_markov(rng):
     np.testing.assert_array_equal(np.asarray(tokens[0]), expected)
 
 
+def test_greedy_min_length_suppresses_eos(rng):
+    """HF applies MinLengthLogitsProcessor in greedy mode too: with a
+    transition table whose argmax is EOS everywhere, min_length must defer
+    EOS to exactly that emitted length (same cur_len convention as
+    nucleus/beam)."""
+    trans = rng.randn(V, V).astype(np.float32)
+    trans[:, EOS] = 10.0  # argmax is always EOS
+    step = make_markov_step(trans)
+    state = jnp.zeros((2, 1))
+    L = 6
+    toks0 = jax.jit(lambda s: greedy_decode(
+        step, s, 2, BOS, L, eos_token_id=EOS, pad_token_id=PAD))(state)
+    np.testing.assert_array_equal(np.asarray(toks0[0]),
+                                  [BOS, EOS, PAD, PAD, PAD, PAD])
+    toks3 = jax.jit(lambda s: greedy_decode(
+        step, s, 2, BOS, L, eos_token_id=EOS, pad_token_id=PAD,
+        min_length=3))(state)
+    got = np.asarray(toks3[0])
+    assert EOS not in got[1:3] and got[3] == EOS and got[4] == PAD
+    # min_length=0 path is unchanged vs the no-arg default
+    toks_def = jax.jit(lambda s: greedy_decode(
+        step, s, 2, BOS, L, eos_token_id=EOS, pad_token_id=PAD,
+        min_length=0))(state)
+    np.testing.assert_array_equal(np.asarray(toks_def), np.asarray(toks0))
+
+
 @pytest.mark.parametrize("length_penalty", [1.0, 0.8])
 @pytest.mark.parametrize("min_length", [0, 3])
 def test_beam_matches_brute_force(rng, length_penalty, min_length):
