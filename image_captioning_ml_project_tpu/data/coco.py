@@ -123,9 +123,11 @@ def load_image_square(path: str, target: int, canvas: int):
     static-shape. Returns (canvas_image, side).
 
     ``draft`` guarantees the decoded shorter side is >= ``target`` whenever
-    the original is, and < 2*target for DCT-scalable JPEGs, so
-    ``canvas = 2 * target`` always fits; non-JPEG or tiny images fall back
-    to a host downscale to the canvas.
+    the original is, and < 2*target for DCT-scalable JPEGs. The caller's
+    canvas may be smaller than that worst case (COCOCaptionDataset uses
+    ~1.5*target to cut transfer bytes): squares that still exceed the
+    canvas take the host-downscale branch below, as do non-JPEG or tiny
+    images — correctness never depends on draft's bound.
     """
     img = Image.open(path)
     img.draft("RGB", (target, target))
@@ -148,6 +150,35 @@ def load_image_square(path: str, target: int, canvas: int):
 # ---------------------------------------------------------------------------
 # Dataset
 # ---------------------------------------------------------------------------
+
+
+def build_caption_examples(annotations, image_id_to_filename,
+                           is_training: bool):
+    """Annotation rows -> example dicts, shared by the image and
+    object-region datasets (reference: src/data/dataset.py:54-100):
+    training yields one row per caption; eval groups all captions of an
+    image into one row (``captions`` list, annotation order)."""
+    examples = []
+    for ann in annotations:
+        if ann["image_id"] not in image_id_to_filename:
+            continue
+        examples.append({
+            "image_id": ann["image_id"],
+            "filename": image_id_to_filename[ann["image_id"]],
+            "caption": ann["caption"],
+        })
+    if is_training:
+        return examples
+    grouped: Dict[int, Dict[str, Any]] = {}
+    for ex in examples:
+        g = grouped.setdefault(
+            ex["image_id"], {"filename": ex["filename"], "captions": []})
+        g["captions"].append(ex["caption"])
+    return [
+        {"image_id": iid, "filename": d["filename"],
+         "captions": d["captions"]}
+        for iid, d in grouped.items()
+    ]
 
 
 class COCOCaptionDataset:
@@ -206,28 +237,9 @@ class COCOCaptionDataset:
         self.image_id_to_filename = {
             img["id"]: img["file_name"] for img in self.annotations["images"]
         }
-        examples = []
-        for ann in self.annotations["annotations"]:
-            if ann["image_id"] not in self.image_id_to_filename:
-                continue
-            examples.append({
-                "image_id": ann["image_id"],
-                "filename": self.image_id_to_filename[ann["image_id"]],
-                "caption": ann["caption"],
-            })
-        if self.is_training:
-            self.examples = examples
-        else:
-            grouped: Dict[int, Dict[str, Any]] = {}
-            for ex in examples:
-                g = grouped.setdefault(
-                    ex["image_id"], {"filename": ex["filename"], "captions": []})
-                g["captions"].append(ex["caption"])
-            self.examples = [
-                {"image_id": iid, "filename": d["filename"],
-                 "captions": d["captions"]}
-                for iid, d in grouped.items()
-            ]
+        self.examples = build_caption_examples(
+            self.annotations["annotations"], self.image_id_to_filename,
+            self.is_training)
 
     def __len__(self):
         return len(self.examples)
@@ -459,28 +471,9 @@ class ObjectDetectionFeaturesDataset:
         self.image_id_to_filename = {
             img["id"]: f"{img['id']}.npz" for img in self.annotations["images"]
         }
-        examples = []
-        for ann in self.annotations["annotations"]:
-            if ann["image_id"] not in self.image_id_to_filename:
-                continue
-            examples.append({
-                "image_id": ann["image_id"],
-                "filename": self.image_id_to_filename[ann["image_id"]],
-                "caption": ann["caption"],
-            })
-        if is_training:
-            self.examples = examples
-        else:
-            grouped: Dict[int, Dict[str, Any]] = {}
-            for ex in examples:
-                g = grouped.setdefault(
-                    ex["image_id"], {"filename": ex["filename"], "captions": []})
-                g["captions"].append(ex["caption"])
-            self.examples = [
-                {"image_id": iid, "filename": d["filename"],
-                 "captions": d["captions"]}
-                for iid, d in grouped.items()
-            ]
+        self.examples = build_caption_examples(
+            self.annotations["annotations"], self.image_id_to_filename,
+            is_training)
 
     def __len__(self):
         return len(self.examples)

@@ -76,11 +76,13 @@ def encode_references(refs_per_image: List[List[Sequence[int]]],
                       max_refs: int, max_len: int) -> Tuple[np.ndarray, np.ndarray]:
     """Host: pack per-image reference token lists into fixed arrays.
 
-    Returns (tokens [B, R, L] int32 — entries beyond a ref's length are 0 —
-    and ref_valid [B, R] bool). Special-token stripping is the device
-    side's job (pass the special ids to :func:`per_sample_cider_device`)."""
+    Returns (tokens [B, R, L] int32 — entries beyond a ref's length are
+    **-1**, which no tokenizer emits, so a real token id 0 (e.g. "!" in
+    the GPT-2 vocab) is never conflated with packing — and ref_valid
+    [B, R] bool). Special-token stripping is the device side's job (pass
+    the special ids to :func:`per_sample_cider_device`)."""
     B = len(refs_per_image)
-    tokens = np.zeros((B, max_refs, max_len), dtype=np.int32)
+    tokens = np.full((B, max_refs, max_len), -1, dtype=np.int32)
     ref_valid = np.zeros((B, max_refs), dtype=bool)
     for i, refs in enumerate(refs_per_image):
         for r, ref in enumerate(refs[:max_refs]):
@@ -114,7 +116,8 @@ def per_sample_cider_device(cand_tokens: jnp.ndarray,
     → rewards [B] float32."""
     cand_valid = _token_valid(cand_tokens, special_ids)
     refs_tok_valid = _token_valid(ref_tokens, special_ids) & \
-        (ref_tokens != 0)  # packed zeros are padding
+        (ref_tokens >= 0)  # packing sentinel is -1 (encode_references) —
+    # token id 0 can be a real vocab word (GPT-2 "!") and must count
     cand_len = cand_valid.sum(axis=-1).astype(jnp.float32)          # [B]
     ref_len = refs_tok_valid.sum(axis=-1).astype(jnp.float32)       # [B, R]
 

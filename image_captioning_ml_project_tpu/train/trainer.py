@@ -97,7 +97,19 @@ class CaptioningTrainer:
         )
 
         self.steps_per_epoch = max(len(train_dataset) // tc.batch_size, 1)
-        self.total_steps = self.steps_per_epoch * tc.num_epochs
+        if curriculum_sampler is not None:
+            # the LR schedule horizon must match the steps that will
+            # actually run: curriculum pacing shrinks early epochs, so
+            # probe the sampler's per-epoch length (set_epoch only stores
+            # the epoch index; train() re-sets it each epoch anyway)
+            total = 0
+            for e in range(tc.num_epochs):
+                curriculum_sampler.set_epoch(e)
+                total += max(len(curriculum_sampler) // tc.batch_size, 1)
+            curriculum_sampler.set_epoch(0)
+            self.total_steps = max(total, 1)
+        else:
+            self.total_steps = self.steps_per_epoch * tc.num_epochs
 
         self.ckpt = CheckpointManager(config.checkpoint_dir)
         self.best_val_score = 0.0
@@ -298,24 +310,6 @@ class CaptioningTrainer:
 
         self._eval_loss_step = jax.jit(eval_loss_step)
 
-        def generate_step(state: TrainState, images, max_length):
-            images = self._prepare_inputs(images)
-            variables = self._model_vars(state)
-            B = jax.tree_util.tree_leaves(images)[0].shape[0]
-            cache = self.model.apply(variables, images, max_length,
-                                     method=self.model.init_cache)
-
-            def step_fn(s, toks):
-                return self.model.apply(variables, s, toks,
-                                        method=self.model.step)
-
-            mc = self.config.model
-            return greedy_decode(step_fn, cache, B, mc.bos_token_id,
-                                 max_length, eos_token_id=mc.eos_token_id,
-                                 pad_token_id=mc.pad_token_id)
-
-        self._generate_step = jax.jit(generate_step, static_argnums=(2,))
-
         def val_decode_step(state: TrainState, images, rng):
             """Decode with the *configured* InferenceConfig strategy — the
             reference's `_validate_epoch` generates through model.generate,
@@ -344,7 +338,11 @@ class CaptioningTrainer:
 
         def rollout_step(state: TrainState, images, rng, max_length):
             """SCST rollouts: one sampled + one greedy decode, shared
-            encoder pass (reference: src/train/trainer.py:349-356)."""
+            encoder pass (reference: src/train/trainer.py:349-356).
+            ``state.step`` is folded into the key (like the fused SCST
+            path) so per-batch keys never repeat across epochs — train()
+            reuses one parent key per epoch."""
+            rng = jax.random.fold_in(rng, state.step)
             images = self._prepare_inputs(images)
             variables = self._model_vars(state)
             B = jax.tree_util.tree_leaves(images)[0].shape[0]
@@ -366,29 +364,27 @@ class CaptioningTrainer:
 
         self._rollout_step = jax.jit(rollout_step, static_argnums=(3,))
 
-        def rl_update_step(state: TrainState, images, sampled, sample_mask,
-                           advantages, rng):
-            """REINFORCE: loss = -mean(adv * logp(sampled))
-            (reference: src/train/trainer.py:371-378). Token masking uses the
-            sampler's own mask (marks sampled tokens incl. EOS — safe when
-            pad == eos)."""
-            rng = jax.random.fold_in(rng, state.step)
-            images = self._prepare_inputs(images)
-
+        def reinforce_update(state: TrainState, images_n, sampled,
+                             token_mask, advantages):
+            """Shared REINFORCE estimator + optimizer update:
+            loss = -mean(adv * logp(sampled)) over the sampler's token
+            mask (marks sampled tokens incl. EOS — safe when pad == eos;
+            reference: src/train/trainer.py:371-378). Both SCST paths
+            (host-reward and fused on-device CIDEr) must compute the
+            identical update."""
             def loss_fn(params):
                 model_vars = self._model_vars(state, params)
-                out = self.model.apply(model_vars, images, sampled,
+                out = self.model.apply(model_vars, images_n, sampled,
                                        train=False)
                 logits = out["logits"].astype(jnp.float32)
                 logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
                 tok = sampled[:, 1:]
                 tok_logp = jnp.take_along_axis(
                     logp, tok[..., None], axis=-1)[..., 0]
-                mask = sample_mask[:, 1:].astype(jnp.float32)
-                rl_weight = self.config.training.rl_weight
+                mask = token_mask[:, 1:].astype(jnp.float32)
                 loss = -(advantages[:, None] * tok_logp * mask).sum() \
                     / jnp.maximum(mask.sum(), 1.0)
-                return rl_weight * loss
+                return self.config.training.rl_weight * loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state,
@@ -398,7 +394,14 @@ class CaptioningTrainer:
             return TrainState(params=new_params,
                               batch_stats=state.batch_stats,
                               opt_state=new_opt,
-                              step=state.step + 1), {"rl_loss": loss}
+                              step=state.step + 1), loss
+
+        def rl_update_step(state: TrainState, images, sampled, sample_mask,
+                           advantages):
+            images = self._prepare_inputs(images)
+            new_state, loss = reinforce_update(state, images, sampled,
+                                               sample_mask, advantages)
+            return new_state, {"rl_loss": loss}
 
         self._rl_update_step = jax.jit(rl_update_step, donate_argnums=(0,))
 
@@ -437,33 +440,12 @@ class CaptioningTrainer:
                 greedy, ref_tokens, ref_valid, df, specials)
             advantages = jax.lax.stop_gradient(sample_r - greedy_r)
 
-            sampled = sample.tokens
-
-            def loss_fn(params):
-                mv = self._model_vars(state, params)
-                out = self.model.apply(mv, images_n, sampled, train=False)
-                logits = out["logits"].astype(jnp.float32)
-                logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-                tok = sampled[:, 1:]
-                tok_logp = jnp.take_along_axis(
-                    logp, tok[..., None], axis=-1)[..., 0]
-                # the sampler's mask marks real tokens incl. EOS (pad==eos safe)
-                mask = sample.mask[:, 1:].astype(jnp.float32)
-                loss = -(advantages[:, None] * tok_logp * mask).sum() \
-                    / jnp.maximum(mask.sum(), 1.0)
-                return self.config.training.rl_weight * loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, new_opt = self.tx.update(grads, state.opt_state,
-                                              state.params)
-            new_params = jax.tree_util.tree_map(
-                lambda p, u: p + u, state.params, updates)
+            new_state, loss = reinforce_update(state, images_n,
+                                               sample.tokens, sample.mask,
+                                               advantages)
             metrics = {"rl_loss": loss, "reward": sample_r.mean(),
                        "greedy_reward": greedy_r.mean()}
-            return TrainState(params=new_params,
-                              batch_stats=state.batch_stats,
-                              opt_state=new_opt,
-                              step=state.step + 1), metrics
+            return new_state, metrics
 
         self._scst_fused_step = jax.jit(scst_fused_step,
                                         donate_argnums=(0,),
@@ -533,32 +515,57 @@ class CaptioningTrainer:
                         data_axis=self.config.mesh.data_axis)
 
     def _train_epoch(self, epoch: int, rng) -> float:
-        from ..utils.profiling import StepTimer
+        import time
 
         tc = self.config.training
         meter = MetricLogger()
-        timer = StepTimer(warmup=1)
         num_batches = 0
+        # curriculum pacing shrinks early epochs: log the real denominator
+        epoch_batches = max(
+            (len(self.curriculum_sampler)
+             if self.curriculum_sampler is not None
+             else len(self.train_dataset)) // tc.batch_size, 1)
+        # a cheap param leaf whose fetch forces the whole dispatch chain
+        # (scalar fetches do NOT force chained steps on the axon backend;
+        # see docs/performance.md "Steady-state measurement")
+        _leaves = jax.tree_util.tree_leaves(self.state.params)
+        force_leaf_ix = int(np.argmin([l.size for l in _leaves]))
         # Off the logging cadence, losses are kept as device scalars and
         # fetched at epoch end — a per-batch float() would block dispatch of
         # step i+1 on step i finishing, serializing device with host prep.
         pending_losses = []
+        t0, n_since = None, 0
         for i, batch in enumerate(self._train_batches(epoch)):
-            with timer:
-                self.state, metrics = self._train_step(
-                    self.state, self._batch_inputs(batch),
-                    batch["caption_tokens"], batch["attention_mask"], rng)
+            self.state, metrics = self._train_step(
+                self.state, self._batch_inputs(batch),
+                batch["caption_tokens"], batch["attention_mask"], rng)
             num_batches += 1
-            if (i + 1) % self.config.log_every == 0:
+            n_since += 1
+            if t0 is None:
+                # warmup boundary: force the first step (absorbs compile)
+                np.asarray(
+                    jax.tree_util.tree_leaves(self.state.params)
+                    [force_leaf_ix])
+                t0, n_since = time.perf_counter(), 0
                 host = {k: float(v) for k, v in metrics.items()}
-                meter.update(**{k: v for k, v in host.items()})
-                ts = timer.summary()
+                meter.update(**host)
+                continue
+            if (i + 1) % self.config.log_every == 0:
+                # force the chain, then report true wall ms/step over the
+                # window (device + host prep — the throughput a user sees)
+                np.asarray(
+                    jax.tree_util.tree_leaves(self.state.params)
+                    [force_leaf_ix])
+                dt = time.perf_counter() - t0
+                host = {k: float(v) for k, v in metrics.items()}
+                meter.update(**host)
                 self.logger.info(
                     "Epoch %d, Batch %d/%d, Loss: %.4f, LR: %.6f, "
-                    "step: %.0f ms (p95 %.0f ms)",
-                    epoch + 1, i + 1, self.steps_per_epoch,
+                    "step: %.0f ms (windowed avg)",
+                    epoch + 1, i + 1, epoch_batches,
                     host["total_loss"], host["learning_rate"],
-                    1e3 * ts.get("mean_s", 0.0), 1e3 * ts.get("p95_s", 0.0))
+                    1e3 * dt / max(n_since, 1))
+                t0, n_since = time.perf_counter(), 0
             else:
                 pending_losses.append(metrics["total_loss"])
         for v in np.asarray(pending_losses, dtype=np.float32) \
@@ -621,7 +628,9 @@ class CaptioningTrainer:
                 special_ids=(mc.pad_token_id, mc.bos_token_id,
                              mc.eos_token_id))
         meter = MetricLogger()
-        max_refs = 5
+        # match the dataset's reference budget (eval batches carry the
+        # same count), not a literal 5
+        max_refs = getattr(self.train_dataset, "max_ref_captions", 5)
         for i, batch in enumerate(self._train_batches(epoch)):
             rng, step_rng = jax.random.split(rng)
             refs = [refs_by_id.get(int(iid), [[mc.eos_token_id]])
@@ -659,7 +668,7 @@ class CaptioningTrainer:
             advantages = jnp.asarray(sample_r - greedy_r, dtype=jnp.float32)
             self.state, metrics = self._rl_update_step(
                 self.state, self._batch_inputs(batch), sampled, sample_mask,
-                advantages, rng)
+                advantages)
             meter.update(rl_loss=float(metrics["rl_loss"]),
                          reward=float(sample_r.mean()))
             if (i + 1) % self.config.log_every == 0:

@@ -90,6 +90,41 @@ def test_device_cider_matches_host(rng):
     assert device_scores[0] > device_scores[1:].max()  # perfect match wins
 
 
+def test_token_zero_is_a_real_word_when_not_special(rng):
+    """GPT-2's id 0 is the real token "!": with special_ids that do NOT
+    include 0 (flagship pad/bos/eos are ~50256), a reference containing
+    token 0 must count toward matches — the packing sentinel is -1, not
+    0 — and the device score must still match the host scorer."""
+    specials = (50256,)
+    refs = [[[0, 5, 6, 0, 7], [5, 6, 7]],
+            [[8, 9, 10, 11], [9, 10, 0]]]
+    cands = [[0, 5, 6, 0, 7],   # exact match incl. the token-0 positions
+             [8, 9, 10, 11]]
+    df = build_df_table(refs, special_ids=specials)
+    ref_tokens, ref_valid = encode_references(refs, max_refs=2, max_len=8)
+    assert (ref_tokens[0, 0, :5] == np.asarray([0, 5, 6, 0, 7])).all()
+    assert (ref_tokens[:, :, 5:] == -1).all()  # sentinel, not 0
+
+    L = 8
+    cand_arr = np.full((2, L), 50256, dtype=np.int32)
+    for i, c in enumerate(cands):
+        cand_arr[i, : len(c)] = c
+    device_scores = np.asarray(per_sample_cider_device(
+        jnp.asarray(cand_arr), jnp.asarray(ref_tokens),
+        jnp.asarray(ref_valid), df, special_ids=specials))
+
+    def words(toks):
+        return [str(t) for t in toks if t not in specials]
+
+    gen_words = [words(c) for c in cands]
+    ref_words = [[words(r) for r in image_refs] for image_refs in refs]
+    _, host_scores = cider_d(gen_words, ref_words)
+    np.testing.assert_allclose(device_scores, host_scores, rtol=1e-4,
+                               atol=1e-4)
+    # the exact match (5 tokens incl. two zeros) must score near 10
+    assert device_scores[0] > 5.0
+
+
 def test_device_cider_under_jit(rng):
     refs = make_corpus(rng, num_images=4)
     df = build_df_table(refs, special_ids=SPECIALS)
