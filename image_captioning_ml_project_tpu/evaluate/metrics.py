@@ -24,6 +24,7 @@ as rewards, SURVEY.md §2.4 / src/train/trainer.py:455-482).
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import re
@@ -128,20 +129,21 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
 
 def rouge_l(generated: List[List[str]], references: List[List[List[str]]],
             beta: float = 1.2) -> Tuple[float, np.ndarray]:
-    """pycocoevalcap Rouge: per-image max over refs of the LCS F-measure."""
+    """pycocoevalcap Rouge semantics: the per-image score combines the
+    max *precision* and max *recall* taken independently across
+    references (``prec_max``/``rec_max`` in rouge.py's calc_score) —
+    NOT the max per-reference F-measure, which differs whenever the best
+    precision and best recall come from different references."""
     per_sample = np.zeros(len(generated))
     for i, (cand, refs) in enumerate(zip(generated, references)):
-        best = 0.0
+        prec_max, rec_max = 0.0, 0.0
         for ref in refs:
             lcs = _lcs_len(cand, ref)
-            if lcs == 0:
-                continue
-            prec = lcs / len(cand) if cand else 0.0
-            rec = lcs / len(ref) if ref else 0.0
-            if prec and rec:
-                f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-                best = max(best, f)
-        per_sample[i] = best
+            prec_max = max(prec_max, lcs / len(cand) if cand else 0.0)
+            rec_max = max(rec_max, lcs / len(ref) if ref else 0.0)
+        if prec_max and rec_max:
+            per_sample[i] = ((1 + beta ** 2) * prec_max * rec_max) \
+                / (rec_max + beta ** 2 * prec_max)
     return float(per_sample.mean()) if len(generated) else 0.0, per_sample
 
 
@@ -281,6 +283,11 @@ def calculate_metrics_pycocoevalcap(generated_captions, reference_captions,
     """Reference parity path (reference: src/evaluate/metrics.py:46-110)."""
     if image_ids is None:
         image_ids = list(range(len(generated_captions)))
+    if len(set(image_ids)) != len(image_ids):
+        # duplicate ids would silently overwrite entries (scoring only
+        # the last pair per image); key by row instead so every
+        # (generation, references) pair is scored like the native path
+        image_ids = list(range(len(generated_captions)))
     gts, res = {}, {}
     for i, (gen, refs) in enumerate(zip(generated_captions, reference_captions)):
         iid = image_ids[i]
@@ -319,10 +326,12 @@ def calculate_metrics(generated_captions: List[str],
         try:
             return calculate_metrics_pycocoevalcap(
                 generated_captions, reference_captions, image_ids)
-        except Exception:
-            pass  # e.g. Java missing for METEOR — fall through to native
-    return {k: v for k, v in calculate_metrics_native(
-        generated_captions, reference_captions).items()}
+        except Exception as e:  # e.g. Java missing for METEOR
+            logging.getLogger(__name__).warning(
+                "pycocoevalcap failed (%s); falling back to the native "
+                "scorers — METEOR here is METEOR-lite, not comparable "
+                "across scorer switches", e)
+    return calculate_metrics_native(generated_captions, reference_captions)
 
 
 def per_sample_spice(generated_captions: List[str],

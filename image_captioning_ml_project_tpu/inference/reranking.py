@@ -53,21 +53,28 @@ def rerank_candidates(
     clip_tokenize_fn: Callable[[List[str]], np.ndarray],
     scorer,
     scorer_variables,
+    score_fn: Optional[Callable] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """candidates [B, K, L] caption-tokenizer ids → (best [B, L], scores
     [B, K]).
 
     ``decode_fn``: caption ids → text; ``clip_tokenize_fn``: list of K*B
-    texts → [B*K, L_clip] CLIP ids (host side)."""
+    texts → [B*K, L_clip] CLIP ids (host side). ``score_fn`` is an
+    optional pre-jitted ``(variables, images, ids) -> scores`` —
+    :class:`CLIPReranker` passes its persistent one so repeated batches
+    reuse one compiled program (an ad-hoc ``jax.jit`` here would retrace
+    every call)."""
     cand = np.asarray(candidates)
     B, K, L = cand.shape
     texts = [decode_fn(cand[b, k]) for b in range(B) for k in range(K)]
     clip_ids = np.asarray(clip_tokenize_fn(texts)).reshape(B, K, -1)
 
-    scores = jax.jit(
-        lambda im, ids: clip_rerank_scores(scorer, scorer_variables, im, ids)
-    )(images, jnp.asarray(clip_ids))
-    scores = np.asarray(scores)
+    if score_fn is None:
+        score_fn = jax.jit(
+            lambda variables, im, ids: clip_rerank_scores(
+                scorer, variables, im, ids))
+    scores = np.asarray(score_fn(scorer_variables, images,
+                                 jnp.asarray(clip_ids)))
     best = scores.argmax(axis=1)
     return cand[np.arange(B), best], scores
 
@@ -79,21 +86,37 @@ class CLIPReranker:
 
     ``clip_tokenize_fn``: list of B*K caption strings → [B*K, L_clip] CLIP
     ids. ``decode_fn``: caption-tokenizer ids → text. Images arrive uint8
-    NHWC (the pipeline convention) and are CLIP-normalized here."""
+    (or float [0, 255]) NHWC at pipeline resolution; they are resized on
+    device to the CLIP checkpoint's ``image_size`` (cubic, ~HF's bicubic
+    processor) and CLIP-normalized inside one **persistently jitted**
+    scoring program (variables passed as arguments, compiled once, reused
+    every batch)."""
 
     def __init__(self, scorer, scorer_variables,
                  clip_tokenize_fn: Callable[[List[str]], np.ndarray],
-                 decode_fn: Callable[[np.ndarray], str]):
+                 decode_fn: Callable[[np.ndarray], str],
+                 image_size: int = 224):
         self.scorer = scorer
         self.variables = scorer_variables
         self.clip_tokenize_fn = clip_tokenize_fn
         self.decode_fn = decode_fn
+        self.image_size = image_size
+
+        def score(variables, images_raw, clip_ids):
+            x = clip_normalize(images_raw)
+            if x.shape[1:3] != (image_size, image_size):
+                x = jax.image.resize(
+                    x, (x.shape[0], image_size, image_size, 3),
+                    method="cubic")
+            return clip_rerank_scores(scorer, variables, x, clip_ids)
+
+        self._score = jax.jit(score)
 
     def __call__(self, images_uint8, candidates) -> np.ndarray:
-        images = clip_normalize(jnp.asarray(images_uint8))
-        best, _ = rerank_candidates(candidates, images, self.decode_fn,
-                                    self.clip_tokenize_fn, self.scorer,
-                                    self.variables)
+        best, _ = rerank_candidates(candidates, jnp.asarray(images_uint8),
+                                    self.decode_fn, self.clip_tokenize_fn,
+                                    self.scorer, self.variables,
+                                    score_fn=self._score)
         return best
 
 
@@ -136,7 +159,8 @@ def build_hf_reranker(decode_fn,
                       return_tensors="np")
             return enc["input_ids"].astype(np.int32)
 
-        return CLIPReranker(scorer, variables, clip_tokenize, decode_fn)
+        return CLIPReranker(scorer, variables, clip_tokenize, decode_fn,
+                            image_size=cfg.vision_config.image_size)
     except Exception as e:
         logger.warning(
             "CLIP reranking requested but no local CLIP checkpoint for "

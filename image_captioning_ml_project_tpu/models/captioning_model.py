@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple, Union
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -24,53 +23,60 @@ from ..config import Config
 from .decoders import CachedMHA, build_decoder
 from .encoders import build_encoder
 
-_NEG_INF = -1e9
-
 
 class PreLNSelfAttentionLayer(nn.Module):
-    """torch TransformerEncoderLayer(norm_first=True, gelu) semantics."""
+    """torch TransformerEncoderLayer(norm_first=True, gelu) semantics,
+    incl. its residual-branch + FFN dropouts (torch default 0.1) applied
+    only when ``deterministic=False``."""
 
     hidden_dim: int
     num_heads: int
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = CachedMHA(self.hidden_dim, self.num_heads, dtype=self.dtype,
                       name="self_attn").full(y, y)
-        x = x + y
+        x = x + drop(y, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="linear1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = drop(nn.gelu(y, approximate=False), deterministic=deterministic)
         y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear2")(y)
-        return x + y
+        return x + drop(y, deterministic=deterministic)
 
 
 class PreLNCrossAttentionLayer(nn.Module):
-    """torch TransformerDecoderLayer(norm_first=True, gelu) semantics."""
+    """torch TransformerDecoderLayer(norm_first=True, gelu) semantics,
+    incl. its residual-branch + FFN dropouts (torch default 0.1) applied
+    only when ``deterministic=False``."""
 
     hidden_dim: int
     num_heads: int
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, memory, memory_key_padding_mask=None):
+    def __call__(self, x, memory, memory_key_padding_mask=None,
+                 deterministic: bool = True):
+        drop = nn.Dropout(self.dropout)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = CachedMHA(self.hidden_dim, self.num_heads, dtype=self.dtype,
                       name="self_attn").full(y, y)
-        x = x + y
+        x = x + drop(y, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         mha = CachedMHA(self.hidden_dim, self.num_heads, dtype=self.dtype,
                         name="cross_attn")
         y = mha.attend_precomputed(y, *mha.project_kv(memory),
                                    key_padding_mask=memory_key_padding_mask)
-        x = x + y
+        x = x + drop(y, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         y = nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="linear1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = drop(nn.gelu(y, approximate=False), deterministic=deterministic)
         y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear2")(y)
-        return x + y
+        return x + drop(y, deterministic=deterministic)
 
 
 class QFormer(nn.Module):
@@ -84,10 +90,12 @@ class QFormer(nn.Module):
     num_queries: int = 32
     num_layers: int = 2
     num_heads: int = 8
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, vision_features, vision_attention_mask=None):
+    def __call__(self, vision_features, vision_attention_mask=None,
+                 deterministic: bool = True):
         B = vision_features.shape[0]
         queries = self.param(
             "query_tokens", nn.initializers.normal(stddev=0.02),
@@ -99,15 +107,19 @@ class QFormer(nn.Module):
             queries.astype(vision_features.dtype),
             (B, self.num_queries, self.query_dim))
         for i in range(self.num_layers):
-            x = PreLNSelfAttentionLayer(self.query_dim, self.num_heads,
-                                        dtype=self.dtype, name=f"encoder_{i}")(x)
+            x = PreLNSelfAttentionLayer(
+                self.query_dim, self.num_heads, dropout=self.dropout,
+                dtype=self.dtype, name=f"encoder_{i}")(
+                x, deterministic=deterministic)
         mem_pad = None
         if vision_attention_mask is not None:
             mem_pad = ~vision_attention_mask.astype(bool)
         for i in range(self.num_layers):
-            x = PreLNCrossAttentionLayer(self.query_dim, self.num_heads,
-                                         dtype=self.dtype, name=f"decoder_{i}")(
-                x, vision_features, memory_key_padding_mask=mem_pad)
+            x = PreLNCrossAttentionLayer(
+                self.query_dim, self.num_heads, dropout=self.dropout,
+                dtype=self.dtype, name=f"decoder_{i}")(
+                x, vision_features, memory_key_padding_mask=mem_pad,
+                deterministic=deterministic)
         return {"queries": x}
 
 
@@ -136,6 +148,9 @@ class ImageCaptioningModel(nn.Module):
                 num_queries=mc.q_former_num_queries,
                 num_layers=mc.q_former_num_layers,
                 num_heads=mc.q_former_num_heads,
+                # the reference's torch layers carry their default 0.1
+                # dropout; mirror the decoder's configured rate
+                dropout=mc.decoder.dropout,
                 dtype=self.dtype,
             )
 
@@ -147,7 +162,8 @@ class ImageCaptioningModel(nn.Module):
         encoder_features = self.encoder(images, train=train)
         if self.config.model.use_q_former:
             out = self.q_former(encoder_features["features"],
-                                encoder_features["attention_mask"])
+                                encoder_features["attention_mask"],
+                                deterministic=not train)
             q = out["queries"]
             encoder_features = dict(
                 encoder_features,

@@ -39,11 +39,14 @@ _NEG_INF = -1e9
 class GPT2Attention(nn.Module):
     hidden_dim: int
     num_heads: int
+    dropout: float = 0.0  # HF attn_pdrop/resid_pdrop (train path only)
     dtype: Any = jnp.float32
 
     def setup(self):
         self.c_attn = nn.Dense(3 * self.hidden_dim, dtype=self.dtype)
         self.c_proj = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.attn_drop = nn.Dropout(self.dropout)
+        self.resid_drop = nn.Dropout(self.dropout)
 
     def _qkv(self, x):
         B, T, _ = x.shape
@@ -54,8 +57,11 @@ class GPT2Attention(nn.Module):
         return (q.reshape(B, T, nh, hd), k.reshape(B, T, nh, hd),
                 v.reshape(B, T, nh, hd))
 
-    def full(self, x, attn_bias=None):
-        """Causal self-attention over x [B, T, H] (+ additive bias)."""
+    def full(self, x, attn_bias=None, deterministic: bool = True):
+        """Causal self-attention over x [B, T, H] (+ additive bias).
+        ``deterministic=False`` applies HF's attn/resid dropout (the
+        reference fine-tunes GPT2LMHeadModel in train mode,
+        src/models/decoders.py:535-543)."""
         q, k, v = self._qkv(x)
         hd = q.shape[-1]
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
@@ -66,9 +72,11 @@ class GPT2Attention(nn.Module):
         if attn_bias is not None:
             scores = scores + attn_bias
         w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        w = self.attn_drop(w, deterministic=deterministic)
         out = jnp.einsum("bnqk,bknd->bqnd", w, v)
         B = x.shape[0]
-        return self.c_proj(out.reshape(B, T, self.hidden_dim)), (k, v)
+        out = self.c_proj(out.reshape(B, T, self.hidden_dim))
+        return self.resid_drop(out, deterministic=deterministic), (k, v)
 
     def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
                     prefix_v=None, anc_local=None, kernel="xla"):
@@ -199,30 +207,36 @@ class GPT2Attention(nn.Module):
 
 class GPT2MLP(nn.Module):
     hidden_dim: int
+    dropout: float = 0.0  # HF resid_pdrop (train path only)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         y = nn.Dense(4 * self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
         y = nn.gelu(y, approximate=True)  # HF gelu_new
-        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_proj")(y)
+        y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_proj")(y)
+        return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
 
 class GPT2Block(nn.Module):
     hidden_dim: int
     num_heads: int
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     def setup(self):
         self.ln_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.ln_2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.attn = GPT2Attention(self.hidden_dim, self.num_heads, dtype=self.dtype)
-        self.mlp = GPT2MLP(self.hidden_dim, dtype=self.dtype)
+        self.attn = GPT2Attention(self.hidden_dim, self.num_heads,
+                                  dropout=self.dropout, dtype=self.dtype)
+        self.mlp = GPT2MLP(self.hidden_dim, dropout=self.dropout,
+                           dtype=self.dtype)
 
-    def full(self, x, attn_bias=None):
-        y, kv = self.attn.full(self.ln_1(x), attn_bias=attn_bias)
+    def full(self, x, attn_bias=None, deterministic: bool = True):
+        y, kv = self.attn.full(self.ln_1(x), attn_bias=attn_bias,
+                               deterministic=deterministic)
         x = x + y
-        x = x + self.mlp(self.ln_2(x))
+        x = x + self.mlp(self.ln_2(x), deterministic=deterministic)
         return x, kv
 
     def cached_step(self, x, k_cache, v_cache, pos, prefix_k=None,
@@ -244,17 +258,20 @@ class GPT2Backbone(nn.Module):
     num_layers: int
     num_heads: int
     n_positions: int = 1024
+    dropout: float = 0.0  # HF embd/attn/resid_pdrop (train path only)
     dtype: Any = jnp.float32
 
     def setup(self):
         self.wte = nn.Embed(self.vocab_size, self.hidden_dim, dtype=self.dtype)
         self.wpe = nn.Embed(self.n_positions, self.hidden_dim, dtype=self.dtype)
         self.blocks = [
-            GPT2Block(self.hidden_dim, self.num_heads, dtype=self.dtype,
+            GPT2Block(self.hidden_dim, self.num_heads,
+                      dropout=self.dropout, dtype=self.dtype,
                       name=f"block_{i}")
             for i in range(self.num_layers)
         ]
         self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.embd_drop = nn.Dropout(self.dropout)
 
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         """Plain language-model forward: ids [B, T] -> logits [B, T, V]."""
@@ -263,13 +280,14 @@ class GPT2Backbone(nn.Module):
         hidden, _ = self.full(x)
         return self.logits(hidden)
 
-    def full(self, inputs_embeds, attn_bias=None):
+    def full(self, inputs_embeds, attn_bias=None, deterministic: bool = True):
         """inputs_embeds [B, T, H] (positions already added).
         Returns (hidden [B,T,H], per-layer (k, v))."""
-        x = inputs_embeds
+        x = self.embd_drop(inputs_embeds, deterministic=deterministic)
         kvs = []
         for block in self.blocks:
-            x, kv = block.full(x, attn_bias=attn_bias)
+            x, kv = block.full(x, attn_bias=attn_bias,
+                               deterministic=deterministic)
             kvs.append(kv)
         return self.ln_f(x), kvs
 
@@ -294,7 +312,8 @@ class GPT2Decoder(nn.Module):
         self.backbone = GPT2Backbone(
             vocab_size=self.vocab_size, hidden_dim=h,
             num_layers=cfg.num_layers, num_heads=cfg.num_heads,
-            n_positions=cfg.gpt2_n_positions, dtype=self.dtype)
+            n_positions=cfg.gpt2_n_positions, dropout=cfg.dropout,
+            dtype=self.dtype)
         self.prefix_length = cfg.prefix_length
         # reference: src/models/decoders.py:544-552 (the reference also
         # defines a visual_projection at :539-541 but never uses it; it is
@@ -339,7 +358,8 @@ class GPT2Decoder(nn.Module):
             [jnp.zeros((B, P), dtype=bool), pad], axis=1)
         attn_bias = jnp.where(key_pad[:, None, None, :], _NEG_INF, 0.0)
 
-        hidden, _ = self.backbone.full(x, attn_bias=attn_bias)
+        hidden, _ = self.backbone.full(x, attn_bias=attn_bias,
+                                       deterministic=deterministic)
         logits = self.backbone.logits(hidden[:, P:])
         return {"logits": logits, "hidden_states": hidden[:, P:]}
 
@@ -429,17 +449,24 @@ class GPT2Decoder(nn.Module):
     def generate(self, encoder_features: Dict[str, jnp.ndarray],
                  max_length: int) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         """Greedy KV-cached generation (beam search lives in
-        inference.decoding and drives init_cache/step directly)."""
+        inference.decoding and drives init_cache/step directly).
+        Finished rows emit pads after the first EOS — the same contract
+        as inference.decoding.greedy_decode and HF ``generate``
+        (post-EOS argmax tokens would otherwise survive
+        ``skip_special_tokens`` decoding as garbage words)."""
         B = encoder_features["pooled_features"].shape[0]
         state = self.init_cache(encoder_features, max_length)
         current = jnp.full((B,), self.bos_token_id, dtype=jnp.int32)
+        done = jnp.zeros((B,), dtype=bool)
 
         def scan_body(carry, _):
-            state, current = carry
+            state, current, done = carry
             logits, state = self.step(state, current)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (state, nxt), current
+            nxt = jnp.where(done, self.pad_token_id, nxt)
+            done = done | (nxt == self.eos_token_id)
+            return (state, nxt, done), current
 
-        (_, _), tokens = jax.lax.scan(
-            scan_body, (state, current), None, length=max_length)
+        (_, _, _), tokens = jax.lax.scan(
+            scan_body, (state, current, done), None, length=max_length)
         return tokens.transpose(1, 0), {}

@@ -316,6 +316,51 @@ def test_gpt2_generate(gpt2_setup):
     assert (_np(tokens[:, 0]) == 1).all()
 
 
+def test_gpt2_dropout_active_in_train_mode(rng):
+    """The reference fine-tunes HF GPT2LMHeadModel in train mode (embd/
+    attn/resid dropout 0.1); config.dropout must regularize the forward
+    when deterministic=False and be a no-op when True."""
+    dcfg = DecoderConfig(decoder_type=DecoderType.GPT2, hidden_dim=H,
+                         num_layers=2, num_heads=4, dropout=0.5,
+                         max_length=12, prefix_length=3,
+                         gpt2_n_positions=64)
+    dec = GPT2Decoder(config=dcfg, vocab_size=V, pad_token_id=0,
+                      bos_token_id=1, eos_token_id=2)
+    feats = make_features(rng)
+    caps = jnp.asarray(rng.randint(3, V, (B, T)))
+    variables = dec.init(jax.random.PRNGKey(0), feats, caps)
+
+    det = dec.apply(variables, feats, caps, deterministic=True)["logits"]
+    det2 = dec.apply(variables, feats, caps, deterministic=True)["logits"]
+    np.testing.assert_array_equal(_np(det), _np(det2))
+
+    tr1 = dec.apply(variables, feats, caps, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})["logits"]
+    tr2 = dec.apply(variables, feats, caps, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})["logits"]
+    assert float(jnp.abs(tr1 - det).max()) > 1e-3   # dropout perturbs
+    assert float(jnp.abs(tr1 - tr2).max()) > 1e-3   # and is stochastic
+
+
+def test_gpt2_generate_pads_after_eos(rng):
+    """generate must emit pads after the first EOS (greedy_decode/HF
+    contract) instead of argmax continuation garbage."""
+    dcfg = DecoderConfig(decoder_type=DecoderType.GPT2, hidden_dim=H,
+                         num_layers=1, num_heads=4, dropout=0.0,
+                         max_length=12, prefix_length=2,
+                         gpt2_n_positions=64)
+    dec = GPT2Decoder(config=dcfg, vocab_size=V, pad_token_id=0,
+                      bos_token_id=1, eos_token_id=2)
+    feats = make_features(rng)
+    variables = dec.init(jax.random.PRNGKey(0), feats,
+                         jnp.zeros((B, 4), jnp.int32))
+    tokens = _np(dec.apply(variables, feats, 10, method=dec.generate)[0])
+    for row in tokens:
+        eos_pos = np.where(row == 2)[0]
+        if len(eos_pos):
+            assert (row[eos_pos[0] + 1:] == 0).all()
+
+
 def test_build_decoder_factory():
     dcfg = DecoderConfig(hidden_dim=H, num_layers=1, num_heads=4)
     acfg = AttentionConfig(hidden_dim=H)

@@ -58,6 +58,24 @@ def test_rouge_l_known():
     assert score == pytest.approx(want, rel=1e-6)
 
 
+def test_rouge_l_max_prec_and_recall_across_refs():
+    """pycocoevalcap combines the max precision and max recall taken
+    independently across references — NOT the best per-reference F.
+    cand='a b': ref1 gives prec 1.0 (rec 1/3), ref2 gives rec 0.5
+    (prec 0.5); the score must use (1.0, 0.5), not max-F 0.5."""
+    gen = [["a", "b"]]
+    refs = [[["a", "b", "c", "d", "e", "f"], ["b", "y"]]]
+    score, _ = rouge_l(gen, refs)
+    beta = 1.2
+    prec_max, rec_max = 1.0, 0.5
+    want = (1 + beta ** 2) * prec_max * rec_max \
+        / (rec_max + beta ** 2 * prec_max)
+    assert score == pytest.approx(want, rel=1e-6)
+    # and strictly above the best per-reference F-measure
+    f2 = (1 + beta ** 2) * 0.5 * 0.5 / (0.5 + beta ** 2 * 0.5)
+    assert score > f2
+
+
 def test_cider_identical_is_ten():
     gen = [["a", "man", "riding", "a", "horse"],
            ["a", "dog", "in", "the", "park"]]
