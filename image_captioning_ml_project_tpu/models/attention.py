@@ -39,8 +39,8 @@ def _maybe_expand_query(query: jnp.ndarray) -> Tuple[jnp.ndarray, bool]:
     return query, False
 
 
-def _mask_scores(scores: jnp.ndarray, key_padding_mask: Optional[jnp.ndarray],
-                 num_batch_dims: int) -> jnp.ndarray:
+def _mask_scores(scores: jnp.ndarray,
+                 key_padding_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Fill padded-key scores with -1e9. ``scores[..., S]``;
     mask [B, S] broadcast over intermediate dims."""
     if key_padding_mask is None:
@@ -85,7 +85,7 @@ class SoftAttention(nn.Module):
             attn_sum = jnp.tanh(q_proj[:, :, None, :] + k_proj[:, None, :, :])
             scores = energy(attn_sum)[..., 0]
             scores = scores / self.config.temperature
-            scores = _mask_scores(scores, key_padding_mask, 1)
+            scores = _mask_scores(scores, key_padding_mask)
 
         weights = jax.nn.softmax(scores, axis=-1)  # [B, Q, S]
         context = jnp.einsum("bqs,bsd->bqd", weights, value)
@@ -138,9 +138,10 @@ class MultiHeadAttention(nn.Module):
         context = nn.Dense(h, dtype=self.dtype, name="output_proj")(context)
         weights = weights4.mean(axis=1)  # head average, [B, Q, S]
 
+        weights = weights.astype(context.dtype)  # same dtype on both paths
         if squeeze:
             return context[:, 0], weights[:, 0]
-        return context, weights.astype(context.dtype)
+        return context, weights
 
 
 class AdaptiveAttention(nn.Module):

@@ -571,6 +571,13 @@ def build_encoder(config: EncoderConfig, dtype=jnp.float32) -> nn.Module:
     """Factory (reference: src/models/encoders.py:299-312)."""
     from .swin import SwinEncoder  # local import: sizeable module
 
+    # use_object_features routes the whole stack through the region
+    # pipeline regardless of encoder_type (main.py/_object_mode do the
+    # same) — checked FIRST so e.g. VIT + use_object_features doesn't
+    # build an image encoder that then receives region-feature dicts
+    if (config.encoder_type == EncoderType.OBJECT_REGION
+            or config.use_object_features):
+        return ObjectRegionEncoder(config, dtype=dtype)
     if config.encoder_type == EncoderType.RESNET:
         return ResNetEncoder(config, dtype=dtype)
     if config.encoder_type == EncoderType.VIT:
@@ -579,6 +586,4 @@ def build_encoder(config: EncoderConfig, dtype=jnp.float32) -> nn.Module:
         return SwinEncoder(config, dtype=dtype)
     if config.encoder_type == EncoderType.CLIP:
         return CLIPEncoder(config, dtype=dtype)
-    if config.encoder_type == EncoderType.OBJECT_REGION or config.use_object_features:
-        return ObjectRegionEncoder(config, dtype=dtype)
     raise ValueError(f"Unsupported encoder type: {config.encoder_type}")

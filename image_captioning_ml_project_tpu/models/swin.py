@@ -108,7 +108,6 @@ class SwinWindowAttention(nn.Module):
 
 
 class SwinLayer(nn.Module):
-    dim: int
     num_heads: int
     window_size: int
     shift_size: int
@@ -118,7 +117,10 @@ class SwinLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: [B, H*W, C] with H = W = input_resolution."""
+        """x: [B, H*W, C] with H = W = input_resolution. Resolutions not
+        divisible by the window are zero-padded right/bottom before
+        partitioning and cropped after (HF SwinLayer.maybe_pad — padded
+        rows participate in boundary windows exactly as in HF)."""
         H = W = self.input_resolution
         w = min(self.window_size, H)
         shift = 0 if w >= H else self.shift_size
@@ -127,17 +129,23 @@ class SwinLayer(nn.Module):
         res = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layernorm_before")(x)
         x = x.reshape(B, H, W, C)
+        pad = (-H) % w
+        Hp = H + pad
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, pad), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(H, W, w, shift))
+            mask = jnp.asarray(_shift_attn_mask(Hp, Hp, w, shift))
         else:
             mask = None
         xw = window_partition(x, w)
         xw = SwinWindowAttention(C, self.num_heads, w, dtype=self.dtype,
                                  name="attention")(xw, mask)
-        x = window_reverse(xw, w, B, H, W)
+        x = window_reverse(xw, w, B, Hp, Hp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        if pad:
+            x = x[:, :H, :W]
         x = res + x.reshape(B, L, C)
 
         res = x
@@ -149,7 +157,6 @@ class SwinLayer(nn.Module):
 
 
 class SwinPatchMerging(nn.Module):
-    dim: int
     input_resolution: int
     dtype: Any = jnp.float32
 
@@ -158,6 +165,8 @@ class SwinPatchMerging(nn.Module):
         H = W = self.input_resolution
         B, L, C = x.shape
         x = x.reshape(B, H, W, C)
+        if H % 2:  # HF maybe_pad: odd resolutions pad right/bottom
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         # HF gather order: [0::2,0::2], [1::2,0::2], [0::2,1::2], [1::2,1::2]
         x = jnp.concatenate([
             x[:, 0::2, 0::2, :], x[:, 1::2, 0::2, :],
@@ -168,9 +177,9 @@ class SwinPatchMerging(nn.Module):
 
 
 class SwinBackbone(nn.Module):
-    """HF SwinModel-compatible backbone."""
+    """HF SwinModel-compatible backbone (any square input resolution —
+    non-window-multiple patch grids pad like HF's maybe_pad)."""
 
-    image_size: int = 224
     patch_size: int = 4
     embed_dim: int = 128
     depths: Sequence[int] = (2, 2, 18, 2)
@@ -189,21 +198,19 @@ class SwinBackbone(nn.Module):
         x = x.reshape(B, -1, self.embed_dim)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="embed_norm")(x)
 
-        dim = self.embed_dim
         for stage_idx, (depth, nh) in enumerate(zip(self.depths, self.num_heads)):
             for layer_idx in range(depth):
                 x = SwinLayer(
-                    dim=dim, num_heads=nh, window_size=self.window_size,
+                    num_heads=nh, window_size=self.window_size,
                     shift_size=0 if layer_idx % 2 == 0 else self.window_size // 2,
                     input_resolution=res, mlp_ratio=self.mlp_ratio,
                     dtype=self.dtype,
                     name=f"stage_{stage_idx}_block_{layer_idx}",
                 )(x)
             if stage_idx < len(self.depths) - 1:
-                x = SwinPatchMerging(dim, res, dtype=self.dtype,
+                x = SwinPatchMerging(res, dtype=self.dtype,
                                      name=f"stage_{stage_idx}_downsample")(x)
-                dim *= 2
-                res //= 2
+                res = (res + 1) // 2  # odd resolutions merge padded (HF)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layernorm")(x)
         return x  # [B, tokens, 8*embed_dim]
 
@@ -218,7 +225,6 @@ class SwinEncoder(nn.Module):
     def __call__(self, images, train: bool = False):
         cfg = self.config
         x = SwinBackbone(
-            image_size=cfg.image_size,
             embed_dim=cfg.swin_embed_dim,
             depths=tuple(cfg.swin_depths),
             num_heads=tuple(cfg.swin_num_heads),

@@ -23,7 +23,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.finfo(jnp.float32).min
+# -inf, not finfo.min: pad/mask entries must never outrank a genuine
+# -inf in the input (ties at -inf resolve by index order, and pads sit
+# at the highest flat indices — matching lax.top_k's lowest-index rule)
+_NEG_INF = -jnp.inf
 
 
 def blocked_top_k(x: jnp.ndarray, k: int, block: int = 1024
@@ -50,16 +53,21 @@ def blocked_top_k(x: jnp.ndarray, k: int, block: int = 1024
         gpos = b[:, None] * block + pos                          # [B, block]
         # mask out elements already taken from this block
         already = (gpos[:, None, :] == taken[:, :, None]).any(axis=1)
-        blk = jnp.where(already, _NEG_INF, blk)
-        w = jnp.argmax(blk, axis=-1)                             # [B]
-        v = blk[rows, w]
+        masked = jnp.where(already, _NEG_INF, blk)
+        # lowest-index argmax among UNTAKEN ties: a pure value argmax
+        # cannot distinguish a taken -inf from an untaken -inf (rows with
+        # fewer than k finite entries would return duplicate indices)
+        best = masked.max(axis=-1, keepdims=True)
+        cand = (~already) & (masked == best)
+        w = jnp.argmax(cand, axis=-1)                            # [B]
+        v = masked[rows, w]
         g = b * block + w
         vals = vals.at[:, i].set(v)
         idxs = idxs.at[:, i].set(g)
         taken = taken.at[:, i].set(g)
         # refresh this block's cached max without its taken element
-        blk = jnp.where(pos == w[:, None], _NEG_INF, blk)
-        block_max = block_max.at[rows, b].set(blk.max(axis=-1))
+        masked = jnp.where(pos == w[:, None], _NEG_INF, masked)
+        block_max = block_max.at[rows, b].set(masked.max(axis=-1))
         return block_max, taken, vals, idxs
 
     taken = jnp.full((B, k), -1, dtype=jnp.int32)

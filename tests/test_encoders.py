@@ -143,18 +143,22 @@ def test_clip_backbone_matches_hf(rng):
                                hf_pooled @ proj_k + proj_b, rtol=1e-3, atol=1e-4)
 
 
-def test_swin_backbone_matches_hf(rng):
+@pytest.mark.parametrize("img", [
+    IMG,  # patch grid divisible by the window
+    40,   # grid 10: window-pad to 12 (HF maybe_pad), then odd-res merge
+])
+def test_swin_backbone_matches_hf(rng, img):
     from transformers import SwinConfig, SwinModel
 
-    hf_cfg = SwinConfig(image_size=IMG, patch_size=4, embed_dim=8,
+    hf_cfg = SwinConfig(image_size=img, patch_size=4, embed_dim=8,
                         depths=[2, 2], num_heads=[2, 4], window_size=4,
                         drop_path_rate=0.0)
     torch_model = SwinModel(hf_cfg).eval()
 
     cfg = EncoderConfig(encoder_type=EncoderType.SWIN, feature_dim=12,
-                        image_size=IMG, swin_embed_dim=8, swin_depths=(2, 2),
+                        image_size=img, swin_embed_dim=8, swin_depths=(2, 2),
                         swin_num_heads=(2, 4), swin_window_size=4, mlp_ratio=4)
-    x = rng.randn(2, 3, IMG, IMG).astype(np.float32)
+    x = rng.randn(2, 3, img, img).astype(np.float32)
     enc = SwinEncoder(cfg)
     variables = enc.init(jax.random.PRNGKey(0), _nhwc(x))
     params = dict(variables["params"])

@@ -139,3 +139,24 @@ def test_fused_beam_top_k_with_precomputed_block_max(rng):
                               suppress=jnp.asarray(True), block_max=bm)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["two_stage", "blocked"])
+def test_rows_with_genuine_neg_inf_entries(rng, impl):
+    """Pad entries must never outrank real -inf inputs: a row with fewer
+    than k finite entries (hard-masked constrained decoding) must return
+    in-range indices, exactly like lax.top_k."""
+    from image_captioning_ml_project_tpu.ops.topk import (blocked_top_k,
+                                                          two_stage_top_k)
+
+    fn = two_stage_top_k if impl == "two_stage" else blocked_top_k
+    B, N, k = 3, 1500, 10
+    x = np.full((B, N), -np.inf, dtype=np.float32)
+    for b in range(B):
+        live = rng.choice(N, size=5, replace=False)
+        x[b, live] = rng.randn(5)
+    vals, idxs = fn(jnp.asarray(x), k, block=512)
+    want_v, want_i = jax.lax.top_k(jnp.asarray(x), k)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(want_v))
+    assert int(np.asarray(idxs).max()) < N
