@@ -180,7 +180,9 @@ class HFTokenizerAdapter:
 
     @property
     def eos_token_id(self):
-        return self.hf.eos_token_id
+        eid = self.hf.eos_token_id
+        # BERT-style tokenizers have no eos; [SEP] terminates sequences
+        return eid if eid is not None else self.hf.sep_token_id
 
     def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
         """``[BOS] token ids [EOS]`` (all covered by the attention mask).
@@ -189,8 +191,11 @@ class HFTokenizerAdapter:
         The leading BOS makes shifted CE supervise p(first_word | BOS),
         matching decode-time conditioning (the reference trains without BOS
         but decodes from BOS — src/models/decoders.py:571-581 vs :627-644 —
-        leaving the first word unsupervised; fixed here, see docs/parity.md)."""
-        enc = self.hf(text, truncation=True, max_length=max_length - 2)
+        leaving the first word unsupervised; fixed here, see docs/parity.md).
+        ``add_special_tokens=False``: the adapter frames specials itself —
+        cls/sep-style tokenizers would otherwise get a second set inside."""
+        enc = self.hf(text, truncation=True, max_length=max_length - 2,
+                      add_special_tokens=False)
         ids = ([int(self.bos_token_id)] + list(enc["input_ids"])
                + [int(self.eos_token_id)])
         out = np.full(max_length, int(self.pad_token_id), dtype=np.int32)
@@ -211,7 +216,11 @@ def load_tokenizer(name_or_path: str, vocab_path: Optional[str] = None):
     """Resolve a tokenizer: ``word`` / a vocab JSON path → WordVocab;
     otherwise a HF pretrained name (requires local cache — this environment
     has no network egress)."""
-    if name_or_path == "word" and vocab_path:
+    if name_or_path == "word":
+        if not vocab_path:
+            raise ValueError(
+                "the 'word' tokenizer needs vocab_path (a vocab JSON "
+                "built by legacy/process_data.py or setup_tokenizer)")
         return WordVocab.load(vocab_path)
     if name_or_path.endswith(".json"):
         return WordVocab.load(name_or_path)

@@ -74,3 +74,20 @@ class BertCaptionEmbedder:
 
     def embed_batch(self, captions: List[str], max_length: int) -> np.ndarray:
         return np.stack([self.embed_caption(c, max_length) for c in captions])
+
+    def vocab_table(self, vocab) -> np.ndarray:
+        """Context-free per-token embedding table [V, dim] for
+        autoregressive generation (each vocab word embedded standalone,
+        multi-piece sums as in :meth:`embed_words`; special tokens map to
+        zero vectors like the caption framing). Training/teacher-forcing
+        use the contextual :meth:`embed_batch` path; generation needs a
+        static token -> embedding map because future context does not
+        exist yet."""
+        specials = {vocab.pad_token_id, vocab.bos_token_id,
+                    vocab.eos_token_id}
+        table = np.zeros((len(vocab.idx2word), self.dim), dtype=np.float32)
+        for idx, word in vocab.idx2word.items():
+            if idx in specials:
+                continue
+            table[idx] = self.embed_words([word], 1)[0]
+        return table

@@ -157,17 +157,28 @@ class LegacyDecoder(nn.Module):
         return {"predictions": predictions, "alphas": alphas}
 
     def generate(self, encoder_out: jnp.ndarray, max_length: int,
-                 start_token_id: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 start_token_id: int = 1,
+                 embedding_table: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Greedy decode; returns (tokens [B, L], alphas [B, L, N]).
-        Position 0 is the start token."""
+        Position 0 is the start token. With ``use_bert`` there is no
+        learned embedding table — pass ``embedding_table`` [V, embed]
+        (e.g. ``BertCaptionEmbedder.vocab_table``) to map generated
+        tokens back to embeddings."""
         B = encoder_out.shape[0]
         encoder_out = encoder_out.reshape(B, -1, self.encoder_dim)
         h, c = self.init_hidden(encoder_out)
         current = jnp.full((B,), start_token_id, dtype=jnp.int32)
+        if self.use_bert and embedding_table is None:
+            raise ValueError(
+                "use_bert decoder has no learned embedding table; pass "
+                "embedding_table (BertCaptionEmbedder.vocab_table) to "
+                "generate()")
 
         def body(carry, _):
             h, c, current = carry
-            emb = self.embedding(current)
+            emb = (embedding_table[current] if embedding_table is not None
+                   else self.embedding(current))
             context, alpha = self._attend(encoder_out, h)
             gate = jax.nn.sigmoid(self.f_beta(h))
             (h, c), _ = self.decode_step(
@@ -207,9 +218,10 @@ class ShowAttendTell(nn.Module):
         return self.decoder(enc, encoded_captions, caption_embeddings,
                             deterministic=not train)
 
-    def generate(self, images, max_length: int, start_token_id: int = 1):
+    def generate(self, images, max_length: int, start_token_id: int = 1,
+                 embedding_table=None):
         enc = self.encoder(images)
         B = enc.shape[0]
         return self.decoder.generate(
             enc.reshape(B, -1, self.decoder.encoder_dim), max_length,
-            start_token_id)
+            start_token_id, embedding_table=embedding_table)

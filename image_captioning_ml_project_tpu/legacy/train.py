@@ -153,8 +153,10 @@ class LegacyTrainer:
 
     def train(self, bert_embedder=None):
         rng = jax.random.PRNGKey(1)
+        step = 0  # host-side counter: int(state.step) per batch would
+        # block dispatch on a device fetch every iteration
         for epoch in range(self.num_epochs):
-            losses = []
+            losses = []  # device scalars; fetched once at epoch end
             it = iterate_batches(self.train_dataset, self.batch_size,
                                  shuffle=True, seed=epoch)
             for i, batch in enumerate(prefetch(it, mesh=self.mesh)):
@@ -164,15 +166,18 @@ class LegacyTrainer:
                     cap_emb = jnp.asarray(bert_embedder.embed_batch(
                         batch["caption"],
                         batch["caption_tokens"].shape[1]))
+                # images stay uint8 on the host; normalize_images runs
+                # inside the jitted step (CLAUDE.md convention)
                 self.state, metrics = self._train_step(
-                    self.state, batch["image"].astype(jnp.float32),
+                    self.state, batch["image"],
                     batch["caption_tokens"], cap_emb, rng)
-                losses.append(float(metrics["ce"]))
-                step = int(self.state.step)
+                losses.append(metrics["ce"])
+                step += 1
                 if step % self.decay_every == 0:
                     self._save(epoch, mid=True)
-            self.logger.info("legacy epoch %d: ce=%.4f", epoch + 1,
-                             float(np.mean(losses)) if losses else 0.0)
+            mean_ce = float(np.mean(np.asarray(
+                [np.asarray(v) for v in losses]))) if losses else 0.0
+            self.logger.info("legacy epoch %d: ce=%.4f", epoch + 1, mean_ce)
             self._save(epoch)
         return self.state
 
@@ -236,7 +241,7 @@ def main(argv=None):
     from .validate import validate
 
     validate(trainer.model, trainer.state, val_ds, vocab,
-             batch_size=args.batch_size)
+             batch_size=args.batch_size, bert_embedder=embedder)
 
 
 if __name__ == "__main__":

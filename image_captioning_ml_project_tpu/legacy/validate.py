@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.coco import iterate_batches, normalize_images
-from ..evaluate.metrics import bleu, metric_tokenize
-from .train import LegacyTrainState, masked_caption_ce
+from ..evaluate.metrics import bleu
+from .train import LegacyTrainState
 
 
 def strip_specials(ids: np.ndarray, vocab) -> List[str]:
@@ -38,47 +38,85 @@ def strip_specials(ids: np.ndarray, vocab) -> List[str]:
 
 def validate(model, state: LegacyTrainState, dataset, vocab,
              batch_size: int = 16, max_length: int = 20,
-             mesh=None) -> Dict[str, float]:
-    """Returns val loss + corpus BLEU-1..4 (reference: validate.py:82-112)."""
+             mesh=None, bert_embedder=None) -> Dict[str, float]:
+    """Returns val loss + corpus BLEU-1..4 (reference: validate.py:82-112).
+
+    Hypotheses AND references are both token-id word lists stripped of
+    specials (the reference compares encoded captions, validate.py:
+    178-191) — one tokenization on both sides. ``pad_last`` covers the
+    trailing short batch (and datasets smaller than a batch); padded
+    rows are masked out of loss and BLEU. ``bert_embedder`` is required
+    for ``use_bert`` models: teacher-forced loss uses contextual
+    caption embeddings, generation a static per-token vocab table."""
     logger = logging.getLogger(__name__)
 
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
+    use_bert = bool(getattr(model, "use_bert", False))
+    table = None
+    if use_bert:
+        assert bert_embedder is not None, (
+            "use_bert validation needs a BertCaptionEmbedder")
+        table = jnp.asarray(bert_embedder.vocab_table(vocab))
 
     @jax.jit
-    def eval_batch(images, captions):
+    def eval_batch(images, captions, row_valid, cap_emb=None):
         images = normalize_images(images)
-        out = model.apply(variables, images, captions)
-        loss = masked_caption_ce(out["predictions"].astype(jnp.float32),
-                                 captions, vocab.pad_token_id)
+        out = model.apply(variables, images, captions,
+                          caption_embeddings=cap_emb)
+        # per-row masked CE so pad_last duplicate rows don't bias the mean:
+        # return the summed nll + supervised-token count over valid rows
+        preds = out["predictions"].astype(jnp.float32)
+        targets = captions[:, 1:preds.shape[1] + 1]
+        mask = ((targets != vocab.pad_token_id)
+                & row_valid[:, None]).astype(jnp.float32)
+        logp = jax.nn.log_softmax(preds, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        loss_sum, ntok = (nll * mask).sum(), mask.sum()
         tokens, alphas = model.apply(
             variables, images, max_length,
             method=lambda mdl, im, L: mdl.generate(
-                im, L, start_token_id=vocab.bos_token_id))
-        return loss, tokens, alphas
+                im, L, start_token_id=vocab.bos_token_id,
+                embedding_table=table))
+        return loss_sum, ntok, tokens, alphas
 
     losses, hyps, refs = [], [], []
     for batch in iterate_batches(dataset, batch_size, shuffle=False,
-                                 drop_last=True):
+                                 drop_last=False, pad_last=True):
         captions = batch["caption_tokens"]
         first_ref = captions[:, 0] if captions.ndim == 3 else captions
-        loss, tokens, _ = eval_batch(
-            jnp.asarray(batch["image"], dtype=jnp.float32),
-            jnp.asarray(first_ref))
-        losses.append(float(loss))
-        for row in np.asarray(tokens):
+        valid = batch.get("batch_valid", np.ones(len(first_ref), dtype=bool))
+        cap_emb = None
+        if use_bert:
+            texts = [caps[0] for caps in batch["captions"]] \
+                if "captions" in batch else [
+                    " ".join(strip_specials(np.asarray(r), vocab))
+                    for r in first_ref]
+            cap_emb = jnp.asarray(bert_embedder.embed_batch(
+                texts, first_ref.shape[1]))
+        loss_sum, ntok, tokens, _ = eval_batch(
+            jnp.asarray(batch["image"]), jnp.asarray(first_ref),
+            jnp.asarray(valid), cap_emb)
+        losses.append((float(loss_sum), float(ntok)))
+        ref_mask = batch.get("ref_mask")
+        for i, row in enumerate(np.asarray(tokens)):
+            if not valid[i]:
+                continue
             hyps.append(strip_specials(row, vocab))
-        if "captions" in batch:
-            refs.extend([[metric_tokenize(c) for c in caps]
-                         for caps in batch["captions"]])
-        else:
-            refs.extend([[strip_specials(np.asarray(first_ref[i]), vocab)]
-                         for i in range(len(first_ref))])
+            if captions.ndim == 3:
+                rows = [r for j, r in enumerate(captions[i])
+                        if ref_mask is None or ref_mask[i][j]]
+                refs.append([strip_specials(np.asarray(r), vocab)
+                             for r in rows] or [[]])
+            else:
+                refs.append([strip_specials(np.asarray(first_ref[i]),
+                                            vocab)])
 
     scores, _ = bleu(hyps, refs)
     out = {
-        "loss": float(np.mean(losses)) if losses else 0.0,
+        "loss": (sum(s for s, _ in losses)
+                 / max(sum(n for _, n in losses), 1.0)) if losses else 0.0,
         "Bleu_1": scores[0], "Bleu_2": scores[1],
         "Bleu_3": scores[2], "Bleu_4": scores[3],
     }

@@ -198,6 +198,50 @@ def _resolve_reranker(config: Config, tokenizer, reranker):
         lambda ids: tokenizer.decode(ids, skip_special_tokens=True))
 
 
+def _make_decode_batch(trainer, config, rerank: bool):
+    """One jitted (state, inputs, rng) -> tokens program shared by the
+    eval and demo CLIs: with ``rerank`` it returns the [B, K, L] beam
+    candidates for CLIP selection (the reference's candidate generator is
+    beam search, src/config.py:107-109); otherwise the configured
+    decoding strategy. ``rng`` feeds the nucleus strategy (a fresh key
+    per batch — a constant key would sample every batch identically)."""
+    import jax
+
+    from .inference.decoding import beam_search, decode
+
+    mc, ic = config.model, config.inference
+    max_length = ic.max_length
+
+    @jax.jit
+    def decode_batch(state, inputs, rng):
+        inputs = trainer._prepare_inputs(inputs)
+        variables = trainer._model_vars(state)
+        B = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+        cache = trainer.model.apply(variables, inputs, max_length,
+                                    method=trainer.model.init_cache)
+
+        def step_fn(s, toks):
+            return trainer.model.apply(variables, s, toks,
+                                       method=trainer.model.step)
+
+        if rerank:
+            res = beam_search(step_fn, cache, B,
+                              max(ic.beam_size, ic.num_candidates),
+                              mc.bos_token_id, mc.eos_token_id,
+                              mc.pad_token_id, max_length,
+                              length_penalty=ic.length_penalty,
+                              min_length=ic.min_length,
+                              num_beam_groups=ic.num_beam_groups,
+                              diversity_penalty=ic.diversity_penalty,
+                              return_all=True)
+            return res.tokens[:, : ic.num_candidates]
+        return decode(step_fn, cache, B, ic,
+                      mc.bos_token_id, mc.eos_token_id, mc.pad_token_id,
+                      rng=rng)
+
+    return decode_batch
+
+
 def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
              reranker=None):
     """reference: src/main.py:202-267 — beam/nucleus/greedy per
@@ -208,7 +252,6 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
     from .data.coco import iterate_batches
     from .data.pipeline import prefetch
     from .evaluate.metrics import calculate_metrics
-    from .inference.decoding import beam_search, decode
 
     logger = logging.getLogger(__name__)
     tokenizer = tokenizer or setup_tokenizer(config)
@@ -234,35 +277,8 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
     mc = config.model
     ic = config.inference
     max_length = ic.max_length
-
-    @jax.jit
-    def decode_batch(state, inputs):
-        inputs = trainer._prepare_inputs(inputs)
-        variables = trainer._model_vars(state)
-        B = jax.tree_util.tree_leaves(inputs)[0].shape[0]
-        cache = trainer.model.apply(variables, inputs, max_length,
-                                    method=trainer.model.init_cache)
-
-        def step_fn(s, toks):
-            return trainer.model.apply(variables, s, toks,
-                                       method=trainer.model.step)
-
-        if reranker is not None:
-            # K candidates per image for CLIP selection; beam regardless of
-            # the configured single-sequence strategy (the reference's
-            # candidate generator is beam search, src/config.py:107-109)
-            res = beam_search(step_fn, cache, B,
-                              max(ic.beam_size, ic.num_candidates),
-                              mc.bos_token_id, mc.eos_token_id,
-                              mc.pad_token_id, max_length,
-                              length_penalty=ic.length_penalty,
-                              min_length=ic.min_length,
-                              num_beam_groups=ic.num_beam_groups,
-                              diversity_penalty=ic.diversity_penalty,
-                              return_all=True)
-            return res.tokens[:, : ic.num_candidates]
-        return decode(step_fn, cache, B, ic,
-                      mc.bos_token_id, mc.eos_token_id, mc.pad_token_id)
+    decode_batch = _make_decode_batch(trainer, config,
+                                      rerank=reranker is not None)
 
     generated, references, image_ids = [], [], []
     # reference quirk: eval batch = inference.num_candidates
@@ -277,10 +293,13 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
     # one bf16 weight pre-cast for the whole eval run (bit-identical;
     # removes the per-batch f32->bf16 convert fusions from the program)
     estate = trainer.eval_state()
+    rng = jax.random.PRNGKey(config.seed)
     for batch in prefetch(it, mesh=trainer.mesh,
                           data_axis=config.mesh.data_axis):
+        rng, step_rng = jax.random.split(rng)
         with trainer._decode_ctx():
-            tokens = decode_batch(estate, trainer._batch_inputs(batch))
+            tokens = decode_batch(estate, trainer._batch_inputs(batch),
+                                  step_rng)
         if reranker is not None:
             imgs = batch["image"]
             if "image_size" in batch:
@@ -327,38 +346,14 @@ def demo(config: Config, checkpoint_path=None, image_path=None,
 
     img = load_image(image_path, config.image_size, train=False)
     images = jnp.asarray(img[None])
-    if reranker is not None:
-        from .inference.decoding import beam_search
-
-        mc, ic = config.model, config.inference
-
-        @jax.jit
-        def candidates_fn(state, inputs):
-            inputs = trainer._prepare_inputs(inputs)
-            variables = trainer._model_vars(state)
-            cache = trainer.model.apply(variables, inputs, ic.max_length,
-                                        method=trainer.model.init_cache)
-
-            def step_fn(s, toks):
-                return trainer.model.apply(variables, s, toks,
-                                           method=trainer.model.step)
-
-            res = beam_search(step_fn, cache, 1,
-                              max(ic.beam_size, ic.num_candidates),
-                              mc.bos_token_id, mc.eos_token_id,
-                              mc.pad_token_id, ic.max_length,
-                              length_penalty=ic.length_penalty,
-                              min_length=ic.min_length,
-                              num_beam_groups=ic.num_beam_groups,
-                              diversity_penalty=ic.diversity_penalty,
-                              return_all=True)
-            return res.tokens[:, : ic.num_candidates]
-
-        cands = candidates_fn(trainer.eval_state(), images)
-        tokens = reranker(images, cands)
-    else:
-        rng = jax.random.PRNGKey(config.seed)
-        tokens = trainer._val_decode_step(trainer.eval_state(), images, rng)
+    # same jitted program (and decode_mesh context) as the eval CLI —
+    # the fused Pallas decode path must stay engaged here too
+    decode_one = _make_decode_batch(trainer, config,
+                                    rerank=reranker is not None)
+    with trainer._decode_ctx():
+        out = decode_one(trainer.eval_state(), images,
+                         jax.random.PRNGKey(config.seed))
+    tokens = reranker(images, out) if reranker is not None else out
     caption = tokenizer.decode(np.asarray(tokens)[0], skip_special_tokens=True)
     logger.info("Generated caption: %s", caption)
     print(caption)

@@ -162,6 +162,23 @@ def test_legacy_validate_and_demo(coco, tmp_path):
     assert len(att_files) == 6
 
 
+def test_legacy_validate_pad_invariant(coco):
+    """batch 4 over 6 images pads the trailing batch with duplicate rows;
+    the val loss and BLEU must match the evenly-dividing batch 6 exactly
+    (padded rows masked out of both loss and corpus BLEU)."""
+    root, vocab, train_ds, val_ds = coco
+    trainer = LegacyTrainer(vocab, train_ds, val_ds, batch_size=6,
+                            num_epochs=1, encoder_config=TINY_ENC,
+                            checkpoint_dir=os.path.join(root, "ckpt3"))
+    even = validate(trainer.model, trainer.state, val_ds, vocab,
+                    batch_size=6, max_length=8)
+    padded = validate(trainer.model, trainer.state, val_ds, vocab,
+                      batch_size=4, max_length=8)
+    np.testing.assert_allclose(padded["loss"], even["loss"], rtol=1e-5)
+    for k in ["Bleu_1", "Bleu_4"]:
+        np.testing.assert_allclose(padded[k], even[k], rtol=1e-6)
+
+
 def test_strip_specials(coco):
     _, vocab, _, _ = coco
     ids = [vocab.bos_token_id, 5, 6, vocab.eos_token_id, 7]
@@ -211,6 +228,66 @@ def test_bert_embedder_with_tiny_bert():
         # slot 0 = <start> (zero), slot 1.. = words; "riding" = rid + ##ing sum
         assert np.allclose(out[0, 0], 0)
         assert not np.allclose(out[0, 1], 0)
+
+
+def _tiny_bert_embedder(vocab, hidden_size=768):
+    """Tiny random HF BERT (768-wide to match ShowAttendTell's use_bert
+    embed dim) + a wordpiece tokenizer over the synthetic-COCO words."""
+    import tempfile
+
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    from image_captioning_ml_project_tpu.legacy.bert_embedder import (
+        BertCaptionEmbedder)
+
+    words = [w for w in vocab.word2idx
+             if w not in ("<pad>", "<start>", "<end>", "<unk>")]
+    vocab_tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + sorted(words)
+    d = tempfile.mkdtemp()
+    vocab_file = os.path.join(d, "vocab.txt")
+    with open(vocab_file, "w") as f:
+        f.write("\n".join(vocab_tokens))
+    tok = BertTokenizerFast(vocab_file=vocab_file, do_lower_case=True)
+    cfg = BertConfig(vocab_size=len(vocab_tokens), hidden_size=hidden_size,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_position_embeddings=32)
+    return BertCaptionEmbedder(model=BertModel(cfg), tokenizer=tok)
+
+
+def test_legacy_bert_train_and_validate(coco):
+    """use_bert end-to-end: contextual embeddings feed teacher forcing,
+    the static vocab table feeds generation inside validate()."""
+    root, vocab, train_ds, val_ds = coco
+    embedder = _tiny_bert_embedder(vocab)
+
+    table = embedder.vocab_table(vocab)
+    assert table.shape == (len(vocab), 768)
+    # specials are zero rows; real words are not
+    assert np.allclose(table[vocab.pad_token_id], 0)
+    assert np.allclose(table[vocab.bos_token_id], 0)
+    real = [i for i in range(len(vocab))
+            if i not in (vocab.pad_token_id, vocab.bos_token_id,
+                         vocab.eos_token_id)]
+    assert any(not np.allclose(table[i], 0) for i in real)
+
+    trainer = LegacyTrainer(vocab, train_ds, val_ds, batch_size=6,
+                            num_epochs=1, use_bert=True,
+                            encoder_config=TINY_ENC,
+                            checkpoint_dir=os.path.join(root, "ckpt_bert"))
+    trainer.train(bert_embedder=embedder)
+
+    metrics = validate(trainer.model, trainer.state, val_ds, vocab,
+                       batch_size=4, max_length=8, bert_embedder=embedder)
+    for k in ["loss", "Bleu_1", "Bleu_4"]:
+        assert k in metrics and np.isfinite(metrics[k])
+
+    # generate() without a table must fail loudly on use_bert models
+    with pytest.raises(ValueError, match="embedding_table"):
+        trainer.model.apply(
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats},
+            jnp.zeros((1, 32, 32, 3)), 4,
+            method=lambda m, im, L: m.generate(im, L))
 
 
 def test_legacy_train_cli(coco, tmp_path):
