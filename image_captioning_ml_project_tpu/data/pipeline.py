@@ -20,19 +20,22 @@ from typing import Any, Dict, Iterator, Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
+
+from ..parallel.mesh import batch_sharding
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh],
                 data_axis: str = "data") -> Dict[str, Any]:
     """Device-put array fields of a batch, sharded on the leading (batch)
-    axis over ``data_axis``. Non-array fields pass through."""
+    axis over ``data_axis`` (the one batch-sharding rule lives in
+    parallel.mesh.batch_sharding). Non-array fields pass through."""
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
             if mesh is not None:
-                spec = P(data_axis, *([None] * (v.ndim - 1)))
-                out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+                out[k] = jax.device_put(
+                    v, batch_sharding(mesh, v.ndim, data_axis))
             else:
                 out[k] = jax.device_put(v)
         else:

@@ -62,8 +62,11 @@ def evaluate_model_on_coco(
             json.dump(results, f)
         logger.info("Wrote %d captions to %s", len(results), results_file)
 
-    # Official pycocotools path when available (reference :293-345)
-    if annotation_file is not None:
+    # Official pycocotools path when available (reference :293-345);
+    # needs the results JSON on disk (loadRes reads a file). Any failure
+    # here (missing import, schema/image-id mismatch) falls back to the
+    # loader-collected references already gathered above.
+    if annotation_file is not None and results_file:
         try:
             from pycocotools.coco import COCO
 
@@ -76,6 +79,9 @@ def evaluate_model_on_coco(
             image_ids = list(gts.keys())
         except ImportError:
             logger.info("pycocotools unavailable; scoring with loader refs")
+        except Exception as e:  # loadRes asserts on id mismatches
+            logger.warning("pycocotools scoring failed (%s); "
+                           "scoring with loader refs", e)
 
     metrics = calculate_metrics(generated, references, image_ids)
     for k, v in metrics.items():

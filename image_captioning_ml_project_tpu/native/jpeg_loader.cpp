@@ -281,6 +281,20 @@ int square_one(const uint8_t* buf, size_t len, int target, int canvas,
 // Batch driver: N items over a transient std::thread pool (atomic cursor)
 // ---------------------------------------------------------------------------
 
+// Exception fence: a hostile header can declare e.g. 65500x65500 and make
+// the pixel vectors throw bad_alloc/length_error. Uncaught, that would
+// std::terminate inside a worker thread (or unwind through the extern "C"
+// boundary) and kill the process — the per-item status contract above
+// promises a negative code instead.
+template <typename Fn>
+int guarded(Fn&& fn) noexcept {
+  try {
+    return fn();
+  } catch (...) {
+    return -5;  // allocation/driver failure for this item only
+  }
+}
+
 template <typename Fn>
 void run_batch(int n, int n_threads, Fn&& fn) {
   n_threads = std::max(1, std::min(n_threads, n));
@@ -338,7 +352,9 @@ void icl_eval_batch(const uint8_t** bufs, const size_t* lens, int n, int size,
                     int n_threads) {
   const size_t item = static_cast<size_t>(size) * size * 3;
   run_batch(n, n_threads, [&](int i) {
-    status[i] = eval_one(bufs[i], lens[i], size, draft_target, out + item * i);
+    status[i] = guarded([&] {
+      return eval_one(bufs[i], lens[i], size, draft_target, out + item * i);
+    });
   });
 }
 
@@ -348,9 +364,11 @@ void icl_train_batch(const uint8_t** bufs, const size_t* lens, int n,
                      uint8_t* out, int* status, int n_threads) {
   const size_t item = static_cast<size_t>(size) * size * 3;
   run_batch(n, n_threads, [&](int i) {
-    status[i] = train_one(bufs[i], lens[i], boxes[i * 4 + 0], boxes[i * 4 + 1],
-                          boxes[i * 4 + 2], boxes[i * 4 + 3], size, flips[i],
-                          out + item * i);
+    status[i] = guarded([&] {
+      return train_one(bufs[i], lens[i], boxes[i * 4 + 0], boxes[i * 4 + 1],
+                       boxes[i * 4 + 2], boxes[i * 4 + 3], size, flips[i],
+                       out + item * i);
+    });
   });
 }
 
@@ -361,7 +379,9 @@ void icl_square_batch(const uint8_t** bufs, const size_t* lens, int n,
                       int n_threads) {
   const size_t item = static_cast<size_t>(canvas) * canvas * 3;
   run_batch(n, n_threads, [&](int i) {
-    sides[i] = square_one(bufs[i], lens[i], target, canvas, out + item * i);
+    sides[i] = guarded([&] {
+      return square_one(bufs[i], lens[i], target, canvas, out + item * i);
+    });
   });
 }
 

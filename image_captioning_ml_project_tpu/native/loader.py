@@ -132,7 +132,12 @@ def decode_eval_batch(bufs: Sequence[bytes], size: int, *,
     lib = _get()
     assert lib is not None, "native loader unavailable"
     n = len(bufs)
-    draft_target = (size if draft is True else int(draft))
+    # isinstance, not `is True`: np.bool_(True) would otherwise fall into
+    # int(draft) == 1 and silently decode at a 1-pixel DCT target
+    if isinstance(draft, (bool, np.bool_)):
+        draft_target = size if draft else 0
+    else:
+        draft_target = int(draft)
     out = np.empty((n, size, size, 3), dtype=np.uint8)
     status = np.zeros(n, dtype=np.int32)
     arr, lens = _ptrs(bufs)

@@ -27,9 +27,11 @@ def create_mesh(mesh_config: Optional[MeshConfig] = None,
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     dp, mp = mesh_config.data_parallel, mesh_config.model_parallel
-    if mp <= 0:
-        mp = 1
-    if dp <= 0:
+    if dp <= 0 and mp <= 0:
+        dp, mp = n, 1
+    elif mp <= 0:  # -1: model axis absorbs the devices data doesn't take
+        mp = n // dp
+    elif dp <= 0:
         dp = n // mp
     assert dp * mp == n, (
         f"mesh {dp}x{mp} does not cover {n} devices")

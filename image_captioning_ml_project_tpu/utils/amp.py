@@ -50,8 +50,13 @@ _RAW_F32_LEAVES = frozenset({"logit_scale", "relative_position_bias_table"})
 
 
 def _is_norm_param_dict(node: Mapping) -> bool:
+    # any non-empty subset of {scale, bias}: use_scale=False /
+    # use_bias=False norms must also keep their surviving leaf f32
+    # (flax's _normalize consumes both at f32). Skipping a cast is always
+    # bit-identity-safe (the per-call cast still runs); casting a norm
+    # leaf is not.
     keys = set(node.keys())
-    return "scale" in keys and keys <= {"scale", "bias"} and all(
+    return bool(keys) and keys <= {"scale", "bias"} and all(
         not isinstance(v, Mapping) for v in node.values())
 
 

@@ -29,11 +29,13 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     def _path(self, name: str) -> str:
-        """Names are keys within the checkpoint dir; anything that is
-        already a path (absolute, contains a separator, or exists on disk)
-        is used verbatim so ``--checkpoint runs/x/best_model`` does not
-        silently resolve under ``checkpoint_dir``."""
-        if os.path.isabs(name) or os.sep in name or os.path.exists(name):
+        """Names are keys within the checkpoint dir; anything spelled as a
+        path (absolute or containing a separator) is used verbatim so
+        ``--checkpoint runs/x/best_model`` does not silently resolve under
+        ``checkpoint_dir``. Bare names always resolve under the directory —
+        resolution must not depend on what happens to exist in the CWD
+        (a leftover ./best_model would otherwise capture saves/restores)."""
+        if os.path.isabs(name) or os.sep in name:
             return os.path.abspath(name)
         return os.path.join(self.directory, name)
 

@@ -40,6 +40,17 @@ def test_norm_params_and_stats_stay_f32():
     assert out["batch_stats"]["bn"]["var"].dtype == jnp.float32
 
 
+def test_bias_only_norm_stays_f32():
+    # LayerNorm(use_scale=False) leaves only a bias; it must not be cast
+    # (flax consumes it at f32 — casting would break eval_state's
+    # bit-identity guarantee)
+    tree = {"norm": {"bias": jnp.zeros((4,))},
+            "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}}
+    out = cast_float_params(tree)
+    assert out["norm"]["bias"].dtype == jnp.float32
+    assert out["dense"]["bias"].dtype == jnp.bfloat16
+
+
 def test_non_float32_leaves_untouched():
     tree = {"a": {"kernel": jnp.ones((2,), jnp.bfloat16)},
             "b": {"kernel": jnp.arange(3)}}

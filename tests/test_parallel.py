@@ -28,6 +28,11 @@ def test_create_mesh_shapes():
     assert mesh2.shape == {"data": 4, "model": 2}
     with pytest.raises(AssertionError):
         create_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+    # -1 on the model axis absorbs the devices data doesn't take
+    mesh3 = create_mesh(MeshConfig(data_parallel=4, model_parallel=-1))
+    assert mesh3.shape == {"data": 4, "model": 8 // 4}
+    mesh4 = create_mesh(MeshConfig(data_parallel=-1, model_parallel=-1))
+    assert mesh4.shape == {"data": 8, "model": 1}
 
 
 def test_tp_rules_assign_specs():

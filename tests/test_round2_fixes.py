@@ -224,6 +224,16 @@ def test_checkpoint_path_resolution(tmp_path):
     ckpt.save(abs_p, state)
     restored, _, _ = ckpt.restore(abs_p, {"w": jnp.zeros((2,))})
     np.testing.assert_array_equal(np.asarray(restored["w"]), [1.0, 1.0])
+    # bare names resolve under the directory even when a same-named
+    # file/dir exists in the CWD (resolution must not depend on CWD junk)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("best_model", exist_ok=True)
+        assert ckpt._path("best_model") == str(
+            tmp_path / "ckpts" / "best_model")
+    finally:
+        os.chdir(cwd)
 
 
 # ---------------------------------------------------------------------------
