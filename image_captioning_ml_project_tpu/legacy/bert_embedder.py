@@ -75,19 +75,55 @@ class BertCaptionEmbedder:
     def embed_batch(self, captions: List[str], max_length: int) -> np.ndarray:
         return np.stack([self.embed_caption(c, max_length) for c in captions])
 
-    def vocab_table(self, vocab) -> np.ndarray:
+    def vocab_table(self, vocab, batch_size: int = 256) -> np.ndarray:
         """Context-free per-token embedding table [V, dim] for
-        autoregressive generation (each vocab word embedded standalone,
-        multi-piece sums as in :meth:`embed_words`; special tokens map to
-        zero vectors like the caption framing). Training/teacher-forcing
-        use the contextual :meth:`embed_batch` path; generation needs a
-        static token -> embedding map because future context does not
-        exist yet."""
+        autoregressive generation (each vocab word embedded standalone as
+        ``[CLS] pieces``, multi-piece sums as in :meth:`embed_words`; ALL
+        special tokens — pad/start/end/unk — map to zero vectors like the
+        caption framing). Training/teacher-forcing use the contextual
+        :meth:`embed_batch` path; generation needs a static
+        token -> embedding map because future context does not exist yet.
+
+        Words are packed into padded batches (one BERT forward per
+        ``batch_size`` words, masked so pads don't attend) instead of one
+        forward per word, and the result is cached per vocabulary — a
+        ~10k-word COCO vocab is seconds, not minutes, and repeated
+        validate() calls pay nothing."""
+        import torch
+
+        key = (len(vocab.idx2word),
+               hash(tuple(sorted(vocab.idx2word.items()))))
+        cached = getattr(self, "_vocab_table_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
         specials = {vocab.pad_token_id, vocab.bos_token_id,
-                    vocab.eos_token_id}
+                    vocab.eos_token_id, vocab.unk_token_id}
         table = np.zeros((len(vocab.idx2word), self.dim), dtype=np.float32)
+        cls_id = self.tokenizer.convert_tokens_to_ids(["[CLS]"])[0]
+        pad_id = self.tokenizer.convert_tokens_to_ids(["[PAD]"])[0]
+        rows = []  # (vocab idx, [CLS]+piece ids)
         for idx, word in vocab.idx2word.items():
             if idx in specials:
                 continue
-            table[idx] = self.embed_words([word], 1)[0]
+            wp = (self.tokenizer.tokenize(word)
+                  or [self.tokenizer.unk_token])
+            rows.append((idx, [cls_id]
+                         + self.tokenizer.convert_tokens_to_ids(wp)))
+        for start in range(0, len(rows), batch_size):
+            chunk = rows[start:start + batch_size]
+            L = max(len(ids) for _, ids in chunk)
+            ids = np.full((len(chunk), L), pad_id, dtype=np.int64)
+            mask = np.zeros((len(chunk), L), dtype=np.int64)
+            for r, (_, seq) in enumerate(chunk):
+                ids[r, : len(seq)] = seq
+                mask[r, : len(seq)] = 1
+            with torch.no_grad():
+                hidden = self.model(
+                    torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask),
+                ).last_hidden_state.numpy()
+            for r, (idx, seq) in enumerate(chunk):
+                table[idx] = hidden[r, 1: len(seq)].sum(axis=0)
+        self._vocab_table_cache = (key, table)
         return table

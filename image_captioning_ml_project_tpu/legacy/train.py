@@ -175,8 +175,9 @@ class LegacyTrainer:
                 step += 1
                 if step % self.decay_every == 0:
                     self._save(epoch, mid=True)
-            mean_ce = float(np.mean(np.asarray(
-                [np.asarray(v) for v in losses]))) if losses else 0.0
+            # one stacked transfer, not one ~16-20 ms tunnel RTT per batch
+            mean_ce = float(np.mean(
+                np.asarray(jnp.stack(losses)))) if losses else 0.0
             self.logger.info("legacy epoch %d: ce=%.4f", epoch + 1, mean_ce)
             self._save(epoch)
         return self.state

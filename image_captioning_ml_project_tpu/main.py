@@ -274,9 +274,7 @@ def evaluate(config: Config, checkpoint_path=None, tokenizer=None,
     reranker = (_resolve_reranker(config, tokenizer, reranker)
                 if rerank_enabled else None)
 
-    mc = config.model
     ic = config.inference
-    max_length = ic.max_length
     decode_batch = _make_decode_batch(trainer, config,
                                       rerank=reranker is not None)
 

@@ -57,11 +57,16 @@ class CLIPTextBackbone(nn.Module):
                           dtype=self.dtype, name=f"layer_{i}")(x, attn_bias=bias)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          name="final_layernorm")(x)
-        if self.eos_token_id is not None:
+        if self.eos_token_id is None or self.eos_token_id == 2:
+            # HF compatibility branch (modeling_clip.py): OpenAI CLIP hub
+            # configs ship the legacy-wrong eos_token_id=2, which never
+            # appears in tokenized text — matching it would pool position 0
+            # for every caption and make reranking a silent no-op. EOT is
+            # the highest id in the CLIP vocab, so argmax finds it.
+            eot = jnp.argmax(input_ids, axis=-1)
+        else:
             eot = jnp.argmax(
                 (input_ids == self.eos_token_id).astype(jnp.int32), axis=-1)
-        else:
-            eot = jnp.argmax(input_ids, axis=-1)
         pooled = x[jnp.arange(B), eot]
         return x, pooled
 

@@ -84,19 +84,23 @@ class CurriculumSampler:
             return iter(self.rng.permutation(n).tolist())
 
         indices = self.sorted_indices[: self._num_included()].copy()
-        if self.shuffle_within_bins:
-            bin_size = len(indices) // self.num_bins
-            if bin_size > 0:
-                out: List[int] = []
-                for i in range(self.num_bins):
-                    start = i * bin_size
-                    end = start + bin_size if i < self.num_bins - 1 else len(indices)
-                    chunk = indices[start:end].copy()
-                    self.rng.shuffle(chunk)
-                    out.extend(chunk.tolist())
-                return iter(out)
-        self.rng.shuffle(indices)
-        return iter(indices.tolist())
+        if not self.shuffle_within_bins:
+            # strict easy-to-hard order — a full shuffle here would be
+            # MORE disorder than shuffle_within_bins=True, inverting the
+            # flag's meaning
+            return iter(indices.tolist())
+        bin_size = len(indices) // self.num_bins
+        if bin_size == 0:  # fewer items than bins: one bin, shuffle it
+            self.rng.shuffle(indices)
+            return iter(indices.tolist())
+        out: List[int] = []
+        for i in range(self.num_bins):
+            start = i * bin_size
+            end = start + bin_size if i < self.num_bins - 1 else len(indices)
+            chunk = indices[start:end].copy()
+            self.rng.shuffle(chunk)
+            out.extend(chunk.tolist())
+        return iter(out)
 
     def __len__(self):
         if self.current_epoch < self.warmup_epochs:

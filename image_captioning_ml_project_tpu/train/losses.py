@@ -167,7 +167,18 @@ class CombinedLoss(nn.Module):
             out["itm_loss"] = il
 
         if self.attention_reg_weight > 0.0 and attention_weights is not None:
-            token_mask = (targets != self.pad_token_id).astype(jnp.float32)
+            # attention_weights[t] is the attention used to predict
+            # targets[t+1] (same alignment as shifted_cross_entropy), so
+            # the step mask is the shifted target validity — the final
+            # step (whose prediction is never supervised) is masked out.
+            # target_mask takes precedence for pad==eos tokenizers, same
+            # as the CE path.
+            if target_mask is not None:
+                valid = target_mask.astype(jnp.float32)
+            else:
+                valid = (targets != self.pad_token_id).astype(jnp.float32)
+            token_mask = jnp.concatenate(
+                [valid[:, 1:], jnp.zeros_like(valid[:, :1])], axis=1)
             ar = attention_regularization(attention_weights, token_mask)
             total = total + self.attention_reg_weight * ar
             out["attention_reg_loss"] = ar

@@ -35,6 +35,9 @@ def test_easy_samples_first_epoch():
     # epoch 0 of 3 warmup -> 1/3 of data, easiest (shortest) first
     assert len(idx) == len(sampler) == 33
     assert set(idx) == set(np.argsort(lengths)[:33].tolist())
+    # shuffle_within_bins=False preserves the strict easy-to-hard order
+    # (a full shuffle would invert the flag's meaning)
+    assert idx == sorted(idx, key=lambda i: lengths[i])
 
 
 def test_subset_grows_with_floor():

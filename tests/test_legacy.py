@@ -262,13 +262,23 @@ def test_legacy_bert_train_and_validate(coco):
 
     table = embedder.vocab_table(vocab)
     assert table.shape == (len(vocab), 768)
-    # specials are zero rows; real words are not
-    assert np.allclose(table[vocab.pad_token_id], 0)
-    assert np.allclose(table[vocab.bos_token_id], 0)
+    # ALL specials are zero rows (incl. <unk> — an emitted unk must not
+    # feed the next step the wordpiece embedding of the literal string
+    # "<unk>"); real words are not
+    for sid in (vocab.pad_token_id, vocab.bos_token_id,
+                vocab.eos_token_id, vocab.unk_token_id):
+        assert np.allclose(table[sid], 0)
     real = [i for i in range(len(vocab))
             if i not in (vocab.pad_token_id, vocab.bos_token_id,
-                         vocab.eos_token_id)]
+                         vocab.eos_token_id, vocab.unk_token_id)]
     assert any(not np.allclose(table[i], 0) for i in real)
+    # batched forwards match the one-word-per-forward path
+    some = real[:3]
+    for i in some:
+        want = embedder.embed_words([vocab.idx2word[i]], 1)[0]
+        np.testing.assert_allclose(table[i], want, rtol=1e-4, atol=1e-5)
+    # and the table is cached per vocab
+    assert embedder.vocab_table(vocab) is table
 
     trainer = LegacyTrainer(vocab, train_ds, val_ds, batch_size=6,
                             num_epochs=1, use_bert=True,

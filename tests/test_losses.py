@@ -75,6 +75,38 @@ def test_combined_loss_full(rng):
     np.testing.assert_allclose(float(out["total_loss"]), want, rtol=1e-6)
 
 
+def test_attention_reg_mask_is_shifted(rng):
+    """attention_weights[t] predicts targets[t+1]: the reg step mask is the
+    shifted target validity — the last step and pad steps are masked, and
+    target_mask (pad==eos tokenizers) takes precedence over pad-id."""
+    loss_mod = CombinedLoss(pad_token_id=PAD, attention_reg_weight=1.0)
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    targets = np.asarray(rng.randint(1, V, (B, T)))
+    targets[:, -2:] = PAD  # pad tail
+    attn = jnp.asarray(np.abs(rng.randn(B, T, 5)).astype(np.float32))
+    variables = loss_mod.init(jax.random.PRNGKey(0), logits,
+                              jnp.asarray(targets), attention_weights=attn)
+    out = loss_mod.apply(variables, logits, jnp.asarray(targets),
+                         attention_weights=attn)
+    valid = (targets != PAD).astype(np.float32)
+    step_mask = np.concatenate([valid[:, 1:], np.zeros((B, 1))], axis=1)
+    want = float(np.mean(
+        (1.0 - (np.asarray(attn) * step_mask[:, :, None]).sum(axis=1)) ** 2))
+    np.testing.assert_allclose(float(out["attention_reg_loss"]), want,
+                               rtol=1e-5)
+    # explicit target_mask overrides pad-id masking
+    tmask = np.ones((B, T), dtype=np.float32)
+    tmask[:, -1:] = 0.0
+    out2 = loss_mod.apply(variables, logits, jnp.asarray(targets),
+                          attention_weights=attn,
+                          target_mask=jnp.asarray(tmask))
+    step2 = np.concatenate([tmask[:, 1:], np.zeros((B, 1))], axis=1)
+    want2 = float(np.mean(
+        (1.0 - (np.asarray(attn) * step2[:, :, None]).sum(axis=1)) ** 2))
+    np.testing.assert_allclose(float(out2["attention_reg_loss"]), want2,
+                               rtol=1e-5)
+
+
 def test_combined_loss_ce_only(rng):
     loss_mod = CombinedLoss(pad_token_id=PAD)
     logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))

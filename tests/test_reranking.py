@@ -41,6 +41,36 @@ def test_clip_text_matches_hf(rng):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_clip_text_legacy_eos2_matches_hf(rng):
+    """OpenAI hub checkpoints ship the legacy-wrong eos_token_id=2; HF
+    special-cases it to pool at input_ids.argmax (EOT = highest vocab id).
+    Matching id 2 literally would pool position 0 for every caption and
+    make reranking a silent no-op."""
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    hf_cfg = CLIPTextConfig(vocab_size=50, hidden_size=16,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=16,
+                            eos_token_id=2)
+    torch_model = CLIPTextModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+
+    backbone = CLIPTextBackbone(vocab_size=50, hidden_size=16, num_layers=2,
+                                num_heads=2, mlp_ratio=4, max_positions=16,
+                                eos_token_id=2)
+    ids = rng.randint(3, 49, (3, 7))  # id 2 never appears in the text
+    ids[:, -1] = 49  # EOT = max id, as in real CLIP tokenizations
+    variables = port_clip_text(sd, num_layers=2)
+    _, pooled = backbone.apply(variables, jnp.asarray(ids))
+    with torch.no_grad():
+        out = torch_model(torch.tensor(ids))
+    np.testing.assert_allclose(np.asarray(pooled),
+                               out.pooler_output.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    # and the pool is genuinely per-caption, not the degenerate position 0
+    assert not np.allclose(np.asarray(pooled)[0], np.asarray(pooled)[1])
+
+
 def test_clip_scorer_matches_hf_model(rng):
     from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
 
