@@ -163,3 +163,10 @@ def test_evaluate_model_on_coco(tmp_path):
     assert len({r["image_id"] for r in results}) == 5
     # echoing the reference -> near-perfect BLEU-1
     assert metrics["Bleu_1"] > 0.95
+    # no results_file + an annotation_file: must not crash on loadRes("")
+    # (falls back to loader-collected refs)
+    m2 = evaluate_model_on_coco(
+        decode_batch_fn, ds, vocab, batch_size=2, results_file="",
+        annotation_file=os.path.join(
+            root, "annotations/captions_val2014.json"))
+    assert m2["Bleu_1"] > 0.95
