@@ -26,7 +26,7 @@ from typing import Dict, List, NamedTuple, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ngram import HASH_MULT, lookup_sorted, ngram_hashes, ngram_hashes_np
+from ..ops.ngram import lookup_sorted, ngram_hashes, ngram_hashes_np
 
 MAX_N = 4
 SIGMA = 6.0

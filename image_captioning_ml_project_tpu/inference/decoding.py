@@ -21,7 +21,6 @@ with EOS suppressed while ``len < min_length``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax

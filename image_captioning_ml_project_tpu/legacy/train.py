@@ -15,9 +15,7 @@ an optax schedule ``lr * 0.8^(step // 1000)``.
 from __future__ import annotations
 
 import logging
-import os
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ from .config import (
     save_config,
 )
 from .data.coco import (build_coco_datasets, build_object_datasets,
-                        load_image, normalize_images)
+                        load_image)
 from .data.tokenizer import HFTokenizerAdapter, WordVocab
 from .train.curriculum import create_curriculum_sampler
 from .train.trainer import CaptioningTrainer

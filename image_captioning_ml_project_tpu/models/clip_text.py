@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -24,8 +24,6 @@ Capability parity with the reference trainer
 
 from __future__ import annotations
 
-import logging
-from functools import partial
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -35,7 +33,7 @@ from flax import struct
 
 from ..config import Config
 from ..data.coco import iterate_batches, normalize_images
-from ..data.pipeline import prefetch, shard_batch
+from ..data.pipeline import prefetch
 from ..evaluate.metrics import calculate_metrics, per_sample_cider
 from ..inference.decoding import greedy_decode, sample_decode
 from ..models.captioning_model import ImageCaptioningModel

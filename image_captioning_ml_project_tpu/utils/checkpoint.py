@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional
 import jax
 import orbax.checkpoint as ocp
 
-from ..config import Config, config_to_dict, config_from_dict
+from ..config import Config, config_to_dict
 
 
 class CheckpointManager:
