@@ -254,6 +254,54 @@ def _tiny_bert_embedder(vocab, hidden_size=768):
     return BertCaptionEmbedder(model=BertModel(cfg), tokenizer=tok)
 
 
+def test_legacy_trainer_dp_mesh_matches_single_device(coco, tmp_path):
+    """Legacy stack under data parallelism: one epoch on the 8-device mesh
+    produces the same parameters as the unsharded run (pure dp: replicated
+    params, batch sharded, XLA-inserted grad psums)."""
+    from image_captioning_ml_project_tpu.config import MeshConfig
+    from image_captioning_ml_project_tpu.parallel.mesh import create_mesh
+
+    root, vocab, train_ds, val_ds = coco
+    mesh = create_mesh(MeshConfig())
+    t_mesh = LegacyTrainer(vocab, train_ds, val_ds, batch_size=8,
+                           num_epochs=1, encoder_config=TINY_ENC, mesh=mesh,
+                           checkpoint_dir=str(tmp_path / "ck_mesh"))
+    t_one = LegacyTrainer(vocab, train_ds, val_ds, batch_size=8,
+                          num_epochs=1, encoder_config=TINY_ENC,
+                          checkpoint_dir=str(tmp_path / "ck_one"))
+    # identical seeds -> identical init; the forward/loss must agree to
+    # reduction-order noise. Exact param equality is NOT expected:
+    # scale_by_adam at step 1 normalizes each element to ±lr regardless of
+    # gradient magnitude, so a low-bit psum reduction-order difference on a
+    # near-zero gradient flips that element's update sign. Bound params by
+    # one Adam step (lr=4e-4) instead.
+    from image_captioning_ml_project_tpu.data.coco import iterate_batches
+
+    rng = jax.random.PRNGKey(1)
+    batch = next(iter(iterate_batches(train_ds, 8, shuffle=True, seed=0)))
+    img, caps = jnp.asarray(batch["image"]), jnp.asarray(
+        batch["caption_tokens"])
+    from image_captioning_ml_project_tpu.data.pipeline import shard_batch
+
+    sharded = shard_batch({"image": np.asarray(batch["image"]),
+                           "caption_tokens":
+                               np.asarray(batch["caption_tokens"])}, mesh)
+    sm, mm = t_mesh._train_step(t_mesh.state, sharded["image"],
+                                sharded["caption_tokens"], None, rng)
+    so, mo = t_one._train_step(t_one.state, img, caps, None, rng)
+    np.testing.assert_allclose(float(mm["ce"]), float(mo["ce"]), rtol=1e-5)
+    np.testing.assert_allclose(float(mm["att_reg"]), float(mo["att_reg"]),
+                               rtol=1e-4, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(sm.params),
+                    jax.tree_util.tree_leaves(so.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-3)
+    # _train_step donates its state argument: rebind before reuse
+    t_mesh.state = sm
+    # and the full epoch loop runs end-to-end under the mesh
+    t_mesh.train()
+
+
 def test_legacy_bert_train_and_validate(coco):
     """use_bert end-to-end: contextual embeddings feed teacher forcing,
     the static vocab table feeds generation inside validate()."""
