@@ -442,14 +442,6 @@ class decode_mesh:
         return False
 
 
-def current_decode_mesh():
-    """The active ``decode_mesh`` context as ``(mesh, data_axis)`` —
-    ``(None, "data")`` outside any context. Shared by the sibling fused
-    kernels (e.g. ops/pallas_cross.py) so one context gates every
-    shard-mapped pallas call in a multi-chip decode."""
-    return _DECODE_MESH, (_DECODE_AXIS or "data")
-
-
 def _fused_exec(pos_arr, q, k_new3, v_new3, anc, prefix_k, prefix_v,
                 k_cache, v_cache, *, K: int, NH: int, scale: float,
                 precise: bool, has_prefix: bool,
