@@ -72,7 +72,30 @@ def build_flagship(on_tpu: bool):
     return c, model, batch
 
 
+def _backend_responsive(timeout_s: int = 300) -> bool:
+    """Probe backend init in a SUBPROCESS with a timeout: the axon tunnel
+    can wedge (PJRT client creation hangs indefinitely at ~0% CPU). A hung
+    probe is killed and we fall back to an honestly-labeled CPU run
+    instead of hanging the driver forever. In-process probing can't be
+    cancelled, hence the subprocess."""
+    import subprocess
+
+    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", timeout_s))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_responsive():
+        print("bench.py: accelerator backend unresponsive; "
+              "falling back to CPU smoke run", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     c, model, batch = build_flagship(on_tpu)
