@@ -21,6 +21,17 @@ Deliberate divergences from HF (both replicated under the default
 Comparison note: HF pads finished rows with EOS rather than PAD whenever
 ``pad_token_id`` is falsy (``output_fill_value = pad_token_id or eos`` in
 ``_beam_search``), so sequences are compared truncated at the first EOS.
+
+Diverse (grouped) beam search cannot be parity-tested against HF in this
+environment: transformers 4.57 moved group beam search out of ``generate``
+into a hub-hosted ``custom_generate`` repo
+(transformers-community/group-beam-search) that requires network access
+(attempted 2026-08-18; zero-egress box). Our grouped path follows the same
+Hamming-penalty semantics (penalize group g's logprobs by
+``diversity_penalty * count`` of same-step tokens chosen by groups < g)
+and is covered by fused-vs-exact token parity at 5k vocab
+(tests/test_decoding.py) and the deterministic cross-group diversity test
+(tests/test_decoding.py::test_diverse_beam_groups_differ).
 """
 
 import jax
