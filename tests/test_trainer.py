@@ -252,6 +252,38 @@ def test_scst_runs_host_reward(setup):
     assert int(trainer.state.step) > 0
 
 
+def test_reward_dispatch_all_types(setup):
+    """_rewards covers every reference reward type (src/train/trainer.py:
+    440-484) per-sample; 'spice' falls back to CIDEr with a warning when
+    Java/pycocoevalcap-SPICE is absent (this box), never silently."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    texts = ["a red dog runs fast", "a blue cat sits"]
+    refs = [["a red dog runs fast", "the red dog is running"],
+            ["a blue cat sits still"]]
+    trainer = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    for rt in ["cider", "bleu", "meteor", "rouge", "spice", "bogus"]:
+        trainer.config.training.rl_reward = rt
+        r = np.asarray(trainer._rewards(texts, refs))
+        assert r.shape == (2,), rt
+        assert np.all(np.isfinite(r)), rt
+        if rt in ("bleu", "meteor", "rouge"):
+            # IDF-free metrics: the exact match must outscore the partial
+            # one (CIDEr's tiny-corpus IDF makes cross-sample comparisons
+            # non-monotonic, so no such check there)
+            assert r[0] >= r[1], rt
+    # the spice fallback warned once and returned CIDEr values
+    assert getattr(trainer, "_spice_warned", False)
+    trainer.config.training.rl_reward = "spice"
+    from image_captioning_ml_project_tpu.evaluate.metrics import (
+        per_sample_cider)
+
+    np.testing.assert_allclose(np.asarray(trainer._rewards(texts, refs)),
+                               np.asarray(per_sample_cider(texts, refs)))
+
+
 def test_scst_runs_on_device_cider(setup):
     cfg, vocab, train_ds, val_ds = setup
     import copy
