@@ -115,6 +115,27 @@ def test_validation_metrics(setup):
     assert "CIDEr" in metrics
 
 
+def test_no_retrace_across_batches(setup):
+    """One compiled program per phase: a second epoch / validation pass
+    must hit the jit cache, not retrace (a retrace on TPU is a multi-
+    minute recompile per batch — the classic silent perf regression)."""
+    cfg, vocab, train_ds, val_ds = setup
+    trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
+    trainer.train()
+    trainer._validate_epoch(0)
+    sizes = {
+        "train_step": trainer._train_step._cache_size(),
+        "eval_loss_step": trainer._eval_loss_step._cache_size(),
+        "val_decode_step": trainer._val_decode_step._cache_size(),
+    }
+    # second epoch + second validation: cache sizes must not grow
+    trainer.train()
+    trainer._validate_epoch(1)
+    assert trainer._train_step._cache_size() == sizes["train_step"] == 1
+    assert trainer._eval_loss_step._cache_size() == sizes["eval_loss_step"]
+    assert trainer._val_decode_step._cache_size() == sizes["val_decode_step"]
+
+
 def test_eval_state_precast_token_identical(setup):
     """utils/amp pre-cast equivalence on the real model path: under bf16
     AMP, decoding with ``eval_state()`` (f32 masters pre-cast to bf16
