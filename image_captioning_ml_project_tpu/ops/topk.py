@@ -145,6 +145,14 @@ def fused_beam_top_k(logits: jnp.ndarray, row_bias: jnp.ndarray,
     nfull = V // block
     tail = V - nfull * block
     nblk = nfull + (1 if tail else 0)
+    if V < block:
+        raise ValueError(
+            f"fused_beam_top_k needs vocab >= block ({V} < {block}); the "
+            f"dispatch gate routes small vocabs to the materialized path")
+    if k > Kg * nblk:
+        raise ValueError(
+            f"fused_beam_top_k selects k blocks from rows_per_group*nblk "
+            f"candidates; k={k} > {Kg}*{nblk}")
 
     main = logits[:, :nfull * block].reshape(R, nfull, block)
     if block_max is not None:

@@ -160,3 +160,52 @@ def test_rows_with_genuine_neg_inf_entries(rng, impl):
     np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_i))
     np.testing.assert_array_equal(np.asarray(vals), np.asarray(want_v))
     assert int(np.asarray(idxs).max()) < N
+
+
+def test_fuzz_fused_beam_top_k(rng):
+    """Seeded fuzz over shapes/blocks/dtypes/bias scales/tie densities:
+    fused candidate selection must equal the materialized oracle on every
+    draw (values to f32 tolerance, indices exactly, lowest-index ties)."""
+    from image_captioning_ml_project_tpu.ops.topk import fused_beam_top_k
+
+    for trial in range(25):
+        r = np.random.RandomState(1000 + trial)
+        B = int(r.randint(1, 4))
+        K = int(r.choice([1, 2, 4, 5]))
+        V = int(r.choice([600, 1023, 1024, 4097, 9001]))
+        block = int(r.choice([b for b in (128, 512, 1024) if b <= V]))
+        nblk = -(-V // block)
+        # contract: the block-selection stage picks k blocks out of K*nblk
+        k = int(r.randint(1, min(2 * K, K * nblk) + 1))
+        eos = int(r.randint(0, V))
+        dtype = r.choice([np.float32, np.float32, "bf16"])
+        x = r.randn(B * K, V).astype(np.float32)
+        # inject exact ties at a random density
+        n_tie = int(r.randint(0, 20))
+        if n_tie:
+            cols = r.randint(0, V, n_tie)
+            x[:, cols] = np.float32(r.randn() * 2)
+        logits = jnp.asarray(x)
+        if dtype == "bf16":
+            logits = logits.astype(jnp.bfloat16)
+            x = np.asarray(logits.astype(jnp.float32))
+        bias = r.randn(B * K).astype(np.float32) * r.choice([0.0, 1.0, 30.0])
+        suppress = bool(r.randint(0, 2))
+        vals, idx = fused_beam_top_k(
+            logits, jnp.asarray(bias), K, k, suppress_token=eos,
+            suppress=jnp.asarray(suppress), block=block)
+        total = (x.reshape(B, K, V)
+                 + bias.reshape(B, K, 1)).reshape(B, K * V).copy()
+        if suppress:
+            total.reshape(B, K, V)[:, :, eos] = -np.inf
+        order = np.argsort(-total, axis=1, kind="stable")[:, :k]
+        want = np.take_along_axis(total, order, axis=1)
+        got_v, got_i = np.asarray(vals), np.asarray(idx)
+        np.testing.assert_allclose(got_v, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"trial {trial}")
+        # indices must match except where exact value ties allow either
+        mism = got_i != order
+        if mism.any():
+            np.testing.assert_allclose(
+                np.take_along_axis(total, got_i, axis=1), want,
+                rtol=0, atol=0, err_msg=f"trial {trial} tie order")
