@@ -260,3 +260,46 @@ def test_transformer_beam_pallas_matches_xla(tiny_transformer):
             pad_token_id=0, max_length=L, length_penalty=0.8)
     np.testing.assert_array_equal(_np(results["xla"].tokens),
                                   _np(results["pallas"].tokens))
+
+
+def test_fuzz_kernel_matches_oracle():
+    """Seeded fuzz over kernel-eligible shapes (interpret mode): random
+    B/K/S/P/heads/width/position/ancestry draws must match the reference
+    attention to dtype tolerance. Complements the fixed-shape cases above
+    with coverage of odd-but-legal corners (prefixless, K=1, pos at the
+    cache edge, single-head)."""
+    for trial in range(8):
+        r = np.random.RandomState(7000 + trial)
+        B = int(r.randint(1, 5))
+        K = int(r.choice([1, 2, 5]))
+        S = int(r.choice([8, 16, 24]))
+        P = int(r.choice([0, 3, 8]))
+        NH = int(r.choice([1, 2, 4]))
+        H = NH * int(r.choice([8, 16, 64]))
+        pos = int(r.randint(0, S))
+        dt = jnp.bfloat16 if r.randint(0, 2) else jnp.float32
+        Bk = B * K
+        rngs = jax.random.split(jax.random.PRNGKey(9000 + trial), 8)
+        q = jax.random.normal(rngs[0], (Bk, H), dt)
+        kn = jax.random.normal(rngs[1], (Bk, H), dt)
+        vn = jax.random.normal(rngs[2], (Bk, H), dt)
+        kc = jax.random.normal(rngs[3], (Bk, S, H), dt)
+        vc = jax.random.normal(rngs[4], (Bk, S, H), dt)
+        pk = jax.random.normal(rngs[5], (B, P, H), dt) if P else None
+        pv = jax.random.normal(rngs[6], (B, P, H), dt) if P else None
+        anc = (jax.random.randint(rngs[7], (Bk, S), 0, K)
+               if r.randint(0, 2) else None)
+        scale = 1.0 / (H // NH) ** 0.5
+        got = fused_beam_decode_attention(
+            q, kn, vn, kc, vc, pk, pv, anc, jnp.asarray(pos),
+            num_heads=NH, beam_size=K, scale=scale, interpret=True)
+        want = reference_beam_decode_attention(
+            q, kn, vn, kc, vc, pk, pv, anc, pos,
+            num_heads=NH, beam_size=K, scale=scale)
+        tol = 0.02 if dt == jnp.bfloat16 else 1e-5
+        for g, w, name in zip(got, want, ("out", "k_cache", "v_cache")):
+            np.testing.assert_allclose(
+                _np(g.astype(jnp.float32)), _np(w.astype(jnp.float32)),
+                atol=tol, rtol=tol,
+                err_msg=f"trial {trial} {name} "
+                        f"B={B} K={K} S={S} P={P} NH={NH} H={H} pos={pos}")
