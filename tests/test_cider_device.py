@@ -139,3 +139,52 @@ def test_device_cider_under_jit(rng):
     assert out.shape == (4,)
     assert np.isfinite(out).all()
     assert out[0] > 0
+
+
+def test_fuzz_device_cider_matches_host():
+    """Seeded fuzz: random corpora (vocab sizes, ref counts, lengths,
+    duplicate candidates, empty-after-strip candidates) — device CIDEr-D
+    must track the host scorer on every draw."""
+    for trial in range(10):
+        r = np.random.RandomState(4000 + trial)
+        num_images = int(r.randint(2, 8))
+        refs_per = int(r.randint(1, 4))
+        vocab = int(r.choice([10, 30, 200]))
+        max_len = int(r.choice([8, 14, 20]))
+        refs = []
+        for _ in range(num_images):
+            image_refs = []
+            for _ in range(refs_per):
+                n = int(r.randint(1, max_len - 2))
+                image_refs.append([BOS] + r.randint(3, vocab, n).tolist()
+                                  + [EOS])
+            refs.append(image_refs)
+        cands = []
+        for i, image_refs in enumerate(refs):
+            mode = r.randint(0, 4)
+            if mode == 0:  # perfect match
+                cands.append(list(image_refs[0]))
+            elif mode == 1:  # empty after stripping specials
+                cands.append([BOS, EOS])
+            else:  # noise
+                n = int(r.randint(1, max_len - 2))
+                cands.append([BOS] + r.randint(3, vocab, n).tolist() + [EOS])
+
+        df = build_df_table(refs, special_ids=SPECIALS)
+        ref_tokens, ref_valid = encode_references(refs, max_refs=refs_per,
+                                                  max_len=max_len)
+        cand_arr = np.zeros((num_images, max_len), dtype=np.int32)
+        for i, c in enumerate(cands):
+            cand_arr[i, : min(len(c), max_len)] = c[:max_len]
+
+        device_scores = np.asarray(per_sample_cider_device(
+            jnp.asarray(cand_arr), jnp.asarray(ref_tokens),
+            jnp.asarray(ref_valid), df, special_ids=SPECIALS))
+        gen_words = [toks_to_words(c[:max_len]) for c in cands]
+        ref_words = [[toks_to_words(x[:max_len]) for x in image_refs]
+                     for image_refs in refs]
+        _, host_scores = cider_d(gen_words, ref_words)
+        np.testing.assert_allclose(
+            device_scores, host_scores, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial} (imgs={num_images} refs={refs_per} "
+                    f"V={vocab} L={max_len})")
