@@ -405,3 +405,28 @@ def test_transformer_lazy_beam_matches_physical_gather(rng):
                                   np.asarray(dense.tokens))
     np.testing.assert_allclose(np.asarray(lazy.scores),
                                np.asarray(dense.scores), rtol=1e-5, atol=1e-6)
+
+
+def test_fuzz_beam_matches_brute_force():
+    """Seeded fuzz of the exhaustive beam (hf_compat=False) against the
+    brute-force oracle: random transition tables, lengths, length
+    penalties (incl. >1, which *rewards* length), and min_length draws."""
+    for trial in range(8):
+        r = np.random.RandomState(6000 + trial)
+        L = int(r.choice([4, 5, 6]))
+        lp = float(r.choice([0.6, 0.8, 1.0, 1.4]))
+        ml = int(r.randint(0, min(4, L - 1)))
+        trans = (r.randn(V, V) * r.choice([0.5, 2.0])).astype(np.float32)
+        step = make_markov_step(trans)
+        state = jnp.zeros((1, 1))
+        res = jax.jit(lambda s, step=step, L=L, lp=lp, ml=ml: beam_search(
+            step, s, 1, beam_size=V * 2, bos_token_id=BOS, eos_token_id=EOS,
+            pad_token_id=PAD, max_length=L, length_penalty=lp,
+            min_length=ml, hf_compat=False))(state)
+        want_score, want_seq = brute_force_beam(trans, L, lp, ml)
+        np.testing.assert_allclose(
+            float(res.scores[0]), want_score, rtol=1e-5,
+            err_msg=f"trial {trial} L={L} lp={lp} ml={ml}")
+        np.testing.assert_array_equal(
+            np.asarray(res.tokens[0]), want_seq,
+            err_msg=f"trial {trial} L={L} lp={lp} ml={ml}")
