@@ -155,6 +155,32 @@ def test_hf_adapter_decode_truncates_at_eos(bpe_files):
     assert adapter.decode(ids) == "the cat"
 
 
+def test_hf_adapter_bert_style_tokenizer(tmp_path):
+    """cls/sep tokenizers through the adapter: eos falls back to [SEP]
+    (BERT has no eos), and add_special_tokens=False prevents a second
+    [CLS]...[SEP] frame inside the adapter's own BOS/EOS framing."""
+    from transformers import BertTokenizerFast
+
+    from image_captioning_ml_project_tpu.data.tokenizer import (
+        HFTokenizerAdapter)
+
+    vocab_tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "cat", "sat"]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab_tokens))
+    hf = BertTokenizerFast(vocab_file=str(vf), do_lower_case=True)
+    adapter = HFTokenizerAdapter(hf)
+    assert adapter.eos_token_id == hf.sep_token_id
+    ids, mask = adapter.encode("a cat sat", max_length=10)
+    n = int(mask.sum())
+    inner = list(ids[1: n - 1])
+    # exactly one BOS and one EOS; no doubled specials inside
+    assert ids[0] == adapter.bos_token_id
+    assert ids[n - 1] == adapter.eos_token_id
+    assert hf.cls_token_id not in inner and hf.sep_token_id not in inner
+    assert inner == hf.encode("a cat sat", add_special_tokens=False)
+    assert adapter.decode(ids) == "a cat sat"
+
+
 # ---------------------------------------------------------------------------
 # top-k tie order
 # ---------------------------------------------------------------------------
