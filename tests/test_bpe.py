@@ -82,3 +82,28 @@ def test_encode_appends_eos(bpe_files):
     ids, mask = tok.encode("the cat", max_length=10)
     n = int(mask.sum())
     assert ids[n - 1] == tok.eos_token_id  # explicit EOS inside the mask
+
+
+def test_fuzz_matches_hf_on_random_text(bpe_files):
+    """Seeded fuzz vs HF GPT2Tokenizer: random mixes of merge-covered
+    fragments, unicode (multi-byte UTF-8), digits, punctuation runs,
+    whitespace shapes (leading/trailing/double spaces, newlines, tabs) —
+    token ids must match exactly, and decode must round-trip."""
+    import random
+
+    from transformers import GPT2Tokenizer
+
+    vocab_file, merges_file = bpe_files
+    hf = GPT2Tokenizer(vocab_file=vocab_file, merges_file=merges_file)
+    ours = GPT2BPETokenizer(vocab_file, merges_file)
+
+    pieces = ["the", "cat", "and", "ing", "running", "a", "zq", "Ж", "日本",
+              "café", "123", "45.6", "!!", "?!", "'s", "don't", ",", "...",
+              "\n", "\t", "  ", " "]
+    r = random.Random(31337)
+    for trial in range(60):
+        n = r.randint(1, 10)
+        text = "".join(r.choice(pieces) for _ in range(n))
+        got, want = ours.tokenize_ids(text), hf.encode(text)
+        assert got == want, f"trial {trial}: {text!r}\n{got}\n{want}"
+        assert ours.decode(got) == hf.decode(want), f"decode {text!r}"
