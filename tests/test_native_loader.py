@@ -193,3 +193,26 @@ def test_png_corpus_falls_back_to_pil(png_root):
                             native_loader=True))
     for bp, bn in zip(pil, nat):
         assert np.array_equal(bp["image"], bn["image"])
+
+
+def test_fuzz_eval_parity_random_sizes():
+    """Seeded fuzz: random source dimensions (extreme aspect ratios, tiny
+    and odd sizes) × random target sizes — the C++ antialiased resize +
+    center crop must track PIL within the documented ~1-2 LSB band."""
+    r = np.random.RandomState(99)
+    for trial in range(12):
+        w = int(r.randint(40, 900))
+        h = int(r.randint(40, 900))
+        size = int(r.choice([64, 97, 224, 257]))
+        arr = (r.rand(h, w, 3) * 255).astype(np.uint8)
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, "JPEG", quality=92)
+        buf = bio.getvalue()
+        out, st = native.decode_eval_batch([buf], size, draft=False)
+        assert st[0] == 0, (trial, w, h, size)
+        pil = np.asarray(center_crop_resize(
+            Image.open(io.BytesIO(buf)).convert("RGB"), size),
+            dtype=np.uint8)
+        d = np.abs(out[0].astype(int) - pil.astype(int))
+        assert d.max() <= 2 and d.mean() < 0.6, (
+            f"trial {trial} {w}x{h}->{size}: max={d.max()} mean={d.mean()}")
