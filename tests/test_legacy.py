@@ -381,3 +381,24 @@ def test_resize_token_embeddings():
                                   params["wte"]["embedding"])
     down = resize_token_embeddings(params, 2)
     assert down["wte"]["embedding"].shape == (2, 3)
+
+
+def test_fuzz_adaptive_pool_matches_torch():
+    """Seeded fuzz vs torch.nn.AdaptiveAvgPool2d over random (H, W) ->
+    output sizes, incl. non-divisible and upsampling cases (the reference
+    pools arbitrary ResNet grids to 14x14, models/encoder.py:10)."""
+    import torch
+
+    r = np.random.RandomState(13)
+    for trial in range(12):
+        H = int(r.randint(3, 33))
+        W = int(r.randint(3, 33))
+        S = int(r.choice([2, 5, 7, 14]))
+        x = r.randn(2, H, W, 3).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool_2d(jnp.asarray(x), S))
+        with torch.no_grad():
+            want = torch.nn.AdaptiveAvgPool2d(S)(
+                torch.tensor(x).permute(0, 3, 1, 2)
+            ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"trial {trial} {H}x{W}->{S}")
