@@ -170,3 +170,38 @@ def test_evaluate_model_on_coco(tmp_path):
         annotation_file=os.path.join(
             root, "annotations/captions_val2014.json"))
     assert m2["Bleu_1"] > 0.95
+
+
+def test_fuzz_corpus_bleu_matches_nltk():
+    """Independent oracle: our corpus BLEU-1..4 vs nltk's corpus_bleu on
+    random corpora (candidates built by perturbing references so all
+    n-gram orders have nonzero counts — where the epsilon smoothing
+    styles coincide to ~1e-6)."""
+    import random
+
+    from nltk.translate.bleu_score import corpus_bleu
+
+    from image_captioning_ml_project_tpu.evaluate.metrics import bleu
+
+    r = random.Random(2024)
+    words = [f"w{i}" for i in range(25)]
+    for trial in range(8):
+        n_img = r.randint(3, 8)
+        hyps, refs = [], []
+        for _ in range(n_img):
+            ref1 = [r.choice(words) for _ in range(r.randint(6, 14))]
+            ref2 = [r.choice(words) for _ in range(r.randint(6, 14))]
+            # candidate = ref1 with a small perturbation (guarantees
+            # matched n-grams at every order)
+            cand = list(ref1)
+            if r.random() < 0.7 and len(cand) > 7:
+                cand[r.randrange(2, len(cand) - 3)] = r.choice(words)
+            hyps.append(cand)
+            refs.append([ref1, ref2])
+        ours, _ = bleu(hyps, refs)
+        for n in range(1, 5):
+            want = corpus_bleu(refs, hyps,
+                               weights=tuple([1.0 / n] * n))
+            np.testing.assert_allclose(
+                ours[n - 1], want, rtol=1e-5, atol=1e-7,
+                err_msg=f"trial {trial} BLEU-{n}")
