@@ -205,3 +205,41 @@ def test_fuzz_corpus_bleu_matches_nltk():
             np.testing.assert_allclose(
                 ours[n - 1], want, rtol=1e-5, atol=1e-7,
                 err_msg=f"trial {trial} BLEU-{n}")
+
+
+def test_fuzz_rouge_l_matches_independent_lcs():
+    """Independent oracle for ROUGE-L: a from-scratch DP LCS + the
+    pycocoevalcap combination rule (max precision and max recall taken
+    independently across references, beta=1.2) on random corpora."""
+    import random
+
+    def lcs(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        return dp[-1][-1]
+
+    r = random.Random(555)
+    words = [f"t{i}" for i in range(12)]
+    for trial in range(10):
+        hyps, refs = [], []
+        for _ in range(r.randint(2, 6)):
+            hyps.append([r.choice(words) for _ in range(r.randint(2, 10))])
+            refs.append([[r.choice(words) for _ in range(r.randint(2, 10))]
+                         for _ in range(r.randint(1, 3))])
+        got, per = rouge_l(hyps, refs)
+        beta = 1.2
+        want_per = []
+        for cand, rs in zip(hyps, refs):
+            prec = max(lcs(cand, ref) / len(cand) for ref in rs)
+            rec = max(lcs(cand, ref) / len(ref) for ref in rs)
+            if prec and rec:
+                want_per.append((1 + beta ** 2) * prec * rec
+                                / (rec + beta ** 2 * prec))
+            else:
+                want_per.append(0.0)
+        np.testing.assert_allclose(per, want_per, rtol=1e-6, atol=1e-9,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(got, np.mean(want_per), rtol=1e-6)
