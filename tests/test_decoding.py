@@ -430,3 +430,29 @@ def test_fuzz_beam_matches_brute_force():
         np.testing.assert_array_equal(
             np.asarray(res.tokens[0]), want_seq,
             err_msg=f"trial {trial} L={L} lp={lp} ml={ml}")
+
+
+def test_fuzz_top_p_filter_matches_hf_warper():
+    """Nucleus filtering parity with HF's TopPLogitsWarper on random
+    logits: the kept-token sets must be identical (the boundary rule —
+    the first token whose cumulative probability crosses top_p is kept —
+    is where naive implementations diverge)."""
+    import torch
+    from transformers.generation.logits_process import TopPLogitsWarper
+
+    r = np.random.RandomState(77)
+    for trial in range(20):
+        Vv = int(r.choice([5, 17, 64]))
+        B = int(r.randint(1, 4))
+        top_p = float(r.choice([0.3, 0.62, 0.9, 0.97]))
+        logits = (r.randn(B, Vv) * r.choice([0.5, 3.0])).astype(np.float32)
+        ours = np.asarray(_top_p_filter(jnp.asarray(logits), top_p))
+        hf = TopPLogitsWarper(top_p=top_p)(
+            None, torch.tensor(logits)).numpy()
+        kept_ours = ours > -1e8
+        kept_hf = np.isfinite(hf)
+        np.testing.assert_array_equal(
+            kept_ours, kept_hf,
+            err_msg=f"trial {trial} V={Vv} top_p={top_p}")
+        # kept logits unchanged
+        np.testing.assert_allclose(ours[kept_ours], logits[kept_ours])
