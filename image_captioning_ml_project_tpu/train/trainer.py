@@ -109,7 +109,10 @@ class CaptioningTrainer:
         else:
             self.total_steps = self.steps_per_epoch * tc.num_epochs
 
-        self.ckpt = CheckpointManager(config.checkpoint_dir)
+        # async: the epoch-N save's disk commit overlaps epoch N+1 compute
+        # (the reference's torch.save blocks the loop); train() drains
+        # in-flight saves before returning.
+        self.ckpt = CheckpointManager(config.checkpoint_dir, async_save=True)
         self.best_val_score = 0.0
         self.start_epoch = 0
 
@@ -498,6 +501,7 @@ class CaptioningTrainer:
                                  self.best_val_score)
             if (epoch + 1) % self.config.save_every == 0 or is_best:
                 self.save_checkpoint(epoch, is_best=is_best)
+        self.ckpt.wait_until_finished()
 
     def _train_batches(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         it = iterate_batches(

@@ -21,10 +21,19 @@ from ..config import Config, config_to_dict
 
 
 class CheckpointManager:
-    """Minimal epoch-granular checkpoint store."""
+    """Minimal epoch-granular checkpoint store.
 
-    def __init__(self, directory: str):
+    With ``async_save=True``, ``save()`` returns once the state is staged to
+    host memory; serialization + the atomic directory commit run on Orbax's
+    background thread so the next epoch's compute overlaps the disk write
+    (the reference's ``torch.save`` blocks the train loop). ``restore()``
+    and ``exists()`` first drain any in-flight save, and callers should
+    ``wait_until_finished()`` before process exit (the trainer does).
+    """
+
+    def __init__(self, directory: str, async_save: bool = False):
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
@@ -46,15 +55,21 @@ class CheckpointManager:
         path = self._path(name)
         state = jax.tree_util.tree_map(lambda x: x, state)  # shallow copy
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
         side = {"metadata": metadata or {}}
         if config is not None:
             side["config"] = config_to_dict(config)
         with open(path + ".meta.json", "w") as f:
             json.dump(side, f)
 
+    def wait_until_finished(self):
+        """Drain any in-flight async save (no-op for sync saves)."""
+        self._ckptr.wait_until_finished()
+
     def restore(self, name: str, target: Optional[Dict[str, Any]] = None):
         """Restore a pytree; ``target`` provides structure/shardings."""
+        self._ckptr.wait_until_finished()
         path = self._path(name)
         if target is not None:
             state = self._ckptr.restore(path, target)
@@ -68,6 +83,7 @@ class CheckpointManager:
         return state, side.get("metadata", {}), side.get("config")
 
     def exists(self, name: str) -> bool:
+        self._ckptr.wait_until_finished()
         return os.path.exists(self._path(name))
 
     def save_epoch(self, epoch: int, state, metadata=None, config=None,

@@ -403,3 +403,30 @@ def test_object_region_trainer(tmp_path):
     assert np.isfinite(float(metrics["total_loss"]))
     val_loss, val_metrics = trainer._validate_epoch(0)
     assert np.isfinite(val_loss) and "CIDEr" in val_metrics
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async saves overlap compute but restore/exists drain them first.
+
+    The trainer uses async_save=True so the epoch-N disk commit overlaps
+    epoch N+1 (the reference's torch.save blocks: src/train/trainer.py:569).
+    Correctness contract: back-to-back saves (epoch + best alias) are safe,
+    an immediate restore sees the fully committed tree, and mutating the
+    live state after save() returns must not corrupt the staged copy.
+    """
+    from image_captioning_ml_project_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"), async_save=True)
+    state = {"w": jax.numpy.arange(8, dtype=jax.numpy.float32),
+             "b": jax.numpy.ones((3,), dtype=jax.numpy.float32)}
+    ckpt.save_epoch(0, state, metadata={"epoch": 0}, is_best=True)
+    # donate/overwrite the live buffers right after save() returns
+    state["w"] = state["w"] * 0 - 7.0
+    restored, meta, _ = ckpt.restore("checkpoint_epoch_1")
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(8.0))
+    assert meta == {"epoch": 0}
+    best, _, _ = ckpt.restore("best_model")
+    np.testing.assert_allclose(np.asarray(best["b"]), np.ones(3))
+    assert ckpt.exists("checkpoint_epoch_1") and ckpt.exists("best_model")
+    ckpt.wait_until_finished()
