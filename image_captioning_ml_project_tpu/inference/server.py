@@ -1,0 +1,358 @@
+"""Production serving: HTTP caption service with request micro-batching.
+
+The reference ships no serving surface — its closest analogue is the
+one-image demo (reference: src/main.py:270-343), which pays a full model
+load per process and decodes one image per call. This module is the
+TPU-first production counterpart, and three hardware facts shape it:
+
+* **XLA static shapes**: the decode program is jit-compiled once for a
+  fixed ``[B, H, W, 3]`` batch and reused forever (a per-request shape
+  would recompile, stalling the service for minutes on a TPU). Incoming
+  requests are therefore *micro-batched*: the batcher drains up to
+  ``batch_size`` requests (waiting at most ``max_wait_ms`` after the
+  first), pads the tail by repeating the last image — the same
+  ``pad_last`` discipline as the eval pipeline (data/coco.py) — and each
+  request reads only its own output row.
+* **Weights are frozen while serving**: the decode consumes
+  ``trainer.eval_state()`` (one-time bf16 pre-cast, bit-identical —
+  utils/amp.py), so no per-batch f32→bf16 convert fusions run.
+* **The fused Pallas decode path must stay engaged**: every batch runs
+  inside ``trainer._decode_ctx()`` (ops/pallas_decode.decode_mesh), which
+  keeps the shard-local kernel launches under a dp mesh instead of the
+  ~1.8× slower XLA fallback.
+
+The HTTP layer is intentionally dependency-free (``http.server`` +
+``ThreadingHTTPServer``): one POST per image, batching happens behind the
+queue, so N concurrent clients saturate the chip without any client-side
+coordination.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ServerStats:
+    """Lock-protected serving counters + latency percentiles.
+
+    Latencies are kept in a bounded ring (last ``window`` requests) so the
+    percentiles track current behavior, not process history.
+    """
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._window = window
+        self._latencies_ms: List[float] = []
+        self.requests = 0
+        self.completed = 0
+        self.errors = 0
+        self.batches = 0
+        self.batched_rows = 0
+        self._started = time.monotonic()
+
+    def record_request(self):
+        with self._lock:
+            self.requests += 1
+
+    def record_batch(self, n_real: int):
+        with self._lock:
+            self.batches += 1
+            self.batched_rows += n_real
+
+    def record_done(self, latency_s: float, error: bool = False):
+        with self._lock:
+            if error:
+                self.errors += 1
+            else:
+                self.completed += 1
+            self._latencies_ms.append(latency_s * 1e3)
+            if len(self._latencies_ms) > self._window:
+                self._latencies_ms = self._latencies_ms[-self._window:]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies_ms)
+            elapsed = time.monotonic() - self._started
+
+            def pct(p):
+                if not lat:
+                    return None
+                return round(lat[min(len(lat) - 1,
+                                     int(p / 100.0 * len(lat)))], 2)
+
+            return {
+                "requests": self.requests,
+                "completed": self.completed,
+                "errors": self.errors,
+                "batches": self.batches,
+                "mean_batch_fill": (round(self.batched_rows
+                                          / max(1, self.batches), 2)),
+                "latency_ms": {"p50": pct(50), "p95": pct(95),
+                               "p99": pct(99)},
+                "uptime_s": round(elapsed, 1),
+                "throughput_rps": round(self.completed / max(elapsed, 1e-9),
+                                        2),
+            }
+
+
+class _Request:
+    __slots__ = ("image", "caption", "error", "event", "t_enqueue")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.caption: Optional[str] = None
+        self.error: Optional[str] = None
+        self.event = threading.Event()
+        self.t_enqueue = time.monotonic()
+
+
+class CaptionService:
+    """Micro-batching caption service around one jitted decode program.
+
+    ``submit(image)`` blocks the calling thread until the batcher has run
+    the request's batch; N threads submitting concurrently fill batches and
+    share one TPU program launch. The service itself is transport-agnostic —
+    the HTTP layer below is one client of it.
+    """
+
+    def __init__(self, config, tokenizer=None, checkpoint_path: str = None,
+                 reranker=None, batch_size: int = 8,
+                 max_wait_ms: float = 10.0, request_timeout_s: float = 60.0):
+        import jax
+
+        from ..main import (_make_decode_batch, _make_model_only_trainer,
+                            _resolve_reranker, setup_tokenizer)
+
+        self.config = config
+        self.tokenizer = tokenizer or setup_tokenizer(config)
+        self.trainer = _make_model_only_trainer(config, self.tokenizer)
+        if checkpoint_path:
+            self.trainer.load_checkpoint(checkpoint_path)
+        self.reranker = (reranker
+                         if reranker is not None
+                         else _resolve_reranker(config, self.tokenizer, None))
+        # Round the serving batch to a data-axis multiple so sharded
+        # device_put works on multi-chip meshes (same policy as eval).
+        dp = self.trainer.mesh.shape.get(config.mesh.data_axis, 1)
+        self.batch_size = -(-batch_size // dp) * dp
+        self.max_wait_s = max_wait_ms / 1e3
+        self.request_timeout_s = request_timeout_s
+        self._decode_batch = _make_decode_batch(
+            self.trainer, config, rerank=self.reranker is not None)
+        self._estate = self.trainer.eval_state()
+        self._rng = jax.random.PRNGKey(config.seed)
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = ServerStats()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, warmup: bool = True):
+        """Compile the decode program (optional) and start the batcher."""
+        if warmup:
+            t0 = time.monotonic()
+            dummy = np.zeros((self.config.image_size, self.config.image_size,
+                              3), dtype=np.uint8)
+            self._run_images([dummy])
+            logger.info("Serving warmup compile: %.1fs (batch %d)",
+                        time.monotonic() - t0, self.batch_size)
+        self._thread = threading.Thread(target=self._batch_loop,
+                                        name="caption-batcher", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        # fail any stragglers still queued
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shutting down"
+            req.event.set()
+
+    # -- request paths -----------------------------------------------------
+
+    def submit(self, image: np.ndarray) -> str:
+        """Caption one preprocessed uint8 [size, size, 3] image (blocking)."""
+        self.stats.record_request()
+        req = _Request(np.ascontiguousarray(image, dtype=np.uint8))
+        self._queue.put(req)
+        if not req.event.wait(self.request_timeout_s):
+            self.stats.record_done(time.monotonic() - req.t_enqueue,
+                                   error=True)
+            raise TimeoutError("caption request timed out")
+        self.stats.record_done(time.monotonic() - req.t_enqueue,
+                               error=req.error is not None)
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.caption
+
+    def caption_bytes(self, data: bytes) -> str:
+        """Caption raw encoded image bytes (JPEG/PNG/...).
+
+        Host preprocessing matches the eval/demo transform exactly
+        (data/coco.load_image: shorter-side resize + center crop), so a
+        served caption is bit-identical to ``--mode demo`` on the same
+        file at equal weights.
+        """
+        from PIL import Image
+
+        from ..data.coco import center_crop_resize
+
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        arr = np.asarray(center_crop_resize(img, self.config.image_size),
+                         dtype=np.uint8)
+        return self.submit(arr)
+
+    # -- batcher -----------------------------------------------------------
+
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            reqs = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(reqs) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    reqs.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._serve_batch(reqs)
+
+    def _serve_batch(self, reqs: List[_Request]):
+        self.stats.record_batch(len(reqs))
+        try:
+            captions = self._run_images([r.image for r in reqs])
+            for req, cap in zip(reqs, captions):
+                req.caption = cap
+        except Exception as e:  # surface the failure to every caller
+            logger.exception("serving batch failed")
+            for req in reqs:
+                req.error = f"{type(e).__name__}: {e}"
+        finally:
+            for req in reqs:
+                req.event.set()
+
+    def _run_images(self, images: List[np.ndarray]) -> List[str]:
+        """Pad to the fixed batch, decode once, return the real rows."""
+        import jax
+        import jax.numpy as jnp
+
+        n = len(images)
+        batch = images + [images[-1]] * (self.batch_size - n)
+        arr = jnp.asarray(np.stack(batch))
+        self._rng, step_rng = jax.random.split(self._rng)
+        with self.trainer._decode_ctx():
+            tokens = self._decode_batch(self._estate, arr, step_rng)
+        if self.reranker is not None:
+            tokens = self.reranker(arr, tokens)
+        tokens = np.asarray(tokens)
+        return [self.tokenizer.decode(tokens[i], skip_special_tokens=True)
+                for i in range(n)]
+
+
+# -- HTTP layer --------------------------------------------------------------
+
+
+def _make_handler(service: CaptionService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                mc = service.config.model
+                self._reply(200, {
+                    "ok": True,
+                    "encoder": getattr(mc.encoder.encoder_type, "value",
+                                       str(mc.encoder.encoder_type)),
+                    "decoder": getattr(mc.decoder.decoder_type, "value",
+                                       str(mc.decoder.decoder_type)),
+                    "batch_size": service.batch_size,
+                })
+            elif self.path == "/stats":
+                self._reply(200, service.stats.snapshot())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").lower()
+                if ctype.startswith("application/json"):
+                    import base64
+
+                    data = base64.b64decode(json.loads(data)["image_b64"])
+                t0 = time.monotonic()
+                caption = service.caption_bytes(data)
+                self._reply(200, {
+                    "caption": caption,
+                    "latency_ms": round((time.monotonic() - t0) * 1e3, 2),
+                })
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def make_http_server(service: CaptionService, host: str = "127.0.0.1",
+                     port: int = 8000) -> ThreadingHTTPServer:
+    """Bind (but don't run) the HTTP front end; ``port=0`` picks a free one."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def serve(config, checkpoint_path: str = None, tokenizer=None,
+          host: str = "127.0.0.1", port: int = 8000, batch_size: int = 8,
+          max_wait_ms: float = 10.0):
+    """CLI entry: build the service, warm it up, and serve forever."""
+    service = CaptionService(config, tokenizer=tokenizer,
+                             checkpoint_path=checkpoint_path,
+                             batch_size=batch_size, max_wait_ms=max_wait_ms)
+    service.start(warmup=True)
+    httpd = make_http_server(service, host, port)
+    logger.info("Serving captions on http://%s:%d (batch %d, max wait "
+                "%.0f ms) — POST image bytes to /caption", host,
+                httpd.server_address[1], service.batch_size, max_wait_ms)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        service.stop()

@@ -41,7 +41,7 @@ def build_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="TPU-native image captioning (JAX/XLA/Pallas)")
     parser.add_argument("--mode", type=str, default="train",
-                        choices=["train", "eval", "demo"])
+                        choices=["train", "eval", "demo", "serve"])
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--save_config", type=str, default=None)
     parser.add_argument("--checkpoint", type=str, default=None)
@@ -81,6 +81,15 @@ def build_argparser() -> argparse.ArgumentParser:
                              "patch-embed matmul: the jitted step consumes "
                              "raw uint8 and the normalized image is never "
                              "materialized (models/encoders.PatchEmbed)")
+    serve = parser.add_argument_group("serve mode (inference/server.py)")
+    serve.add_argument("--host", type=str, default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=8000)
+    serve.add_argument("--serve_batch_size", type=int, default=8,
+                       help="Micro-batch size the jitted decode is compiled "
+                            "for (rounded up to a data-mesh multiple)")
+    serve.add_argument("--serve_max_wait_ms", type=float, default=10.0,
+                       help="Max time the batcher holds a partial batch "
+                            "waiting for more requests")
     return parser
 
 
@@ -413,6 +422,13 @@ def main(argv=None):
         if not args.image_path:
             raise SystemExit("--image_path is required for demo mode")
         demo(config, args.checkpoint, args.image_path, tokenizer=tokenizer)
+    elif args.mode == "serve":
+        from .inference.server import serve
+
+        serve(config, args.checkpoint, tokenizer=tokenizer,
+              host=args.host, port=args.port,
+              batch_size=args.serve_batch_size,
+              max_wait_ms=args.serve_max_wait_ms)
 
 
 if __name__ == "__main__":
