@@ -128,7 +128,8 @@ class CaptionService:
 
     def __init__(self, config, tokenizer=None, checkpoint_path: str = None,
                  reranker=None, batch_size: int = 8,
-                 max_wait_ms: float = 10.0, request_timeout_s: float = 60.0):
+                 max_wait_ms: float = 10.0, request_timeout_s: float = 60.0,
+                 pipeline_depth: int = 2):
         import jax
 
         from ..main import (_make_decode_batch, _make_model_only_trainer,
@@ -153,8 +154,15 @@ class CaptionService:
         self._estate = self.trainer.eval_state()
         self._rng = jax.random.PRNGKey(config.seed)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # Dispatch/fetch pipeline: JAX dispatch is async, so the batcher
+        # launches batch N+1 on the device while the completer thread is
+        # still host-fetching + detokenizing batch N. The bounded queue
+        # caps in-flight device batches at ``pipeline_depth``.
+        self._pending: "queue.Queue" = queue.Queue(
+            maxsize=max(1, pipeline_depth - 1))
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._completer: Optional[threading.Thread] = None
         self.stats = ServerStats()
 
     # -- lifecycle ---------------------------------------------------------
@@ -170,7 +178,11 @@ class CaptionService:
                         time.monotonic() - t0, self.batch_size)
         self._thread = threading.Thread(target=self._batch_loop,
                                         name="caption-batcher", daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           name="caption-completer",
+                                           daemon=True)
         self._thread.start()
+        self._completer.start()
         return self
 
     def stop(self):
@@ -178,14 +190,23 @@ class CaptionService:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
-        # fail any stragglers still queued
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            req.error = "server shutting down"
-            req.event.set()
+        if self._completer is not None:
+            self._pending.put(None)  # sentinel after the batcher stopped
+            self._completer.join(timeout=30)
+            self._completer = None
+        # fail any stragglers still queued or in flight
+        for q in (self._pending, self._queue):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                reqs = item[0] if isinstance(item, tuple) else [item]
+                for req in reqs or []:
+                    if req is None:
+                        continue
+                    req.error = "server shutting down"
+                    req.event.set()
 
     # -- request paths -----------------------------------------------------
 
@@ -242,35 +263,61 @@ class CaptionService:
             self._serve_batch(reqs)
 
     def _serve_batch(self, reqs: List[_Request]):
+        """Dispatch one device batch; completion happens on the completer
+        thread (the bounded put is the pipeline-depth backpressure)."""
         self.stats.record_batch(len(reqs))
         try:
-            captions = self._run_images([r.image for r in reqs])
-            for req, cap in zip(reqs, captions):
-                req.caption = cap
+            tokens, arr = self._dispatch([r.image for r in reqs])
         except Exception as e:  # surface the failure to every caller
-            logger.exception("serving batch failed")
+            logger.exception("serving batch dispatch failed")
             for req in reqs:
                 req.error = f"{type(e).__name__}: {e}"
-        finally:
-            for req in reqs:
                 req.event.set()
+            return
+        self._pending.put((reqs, tokens, arr))
 
-    def _run_images(self, images: List[np.ndarray]) -> List[str]:
-        """Pad to the fixed batch, decode once, return the real rows."""
+    def _complete_loop(self):
+        while True:
+            item = self._pending.get()
+            if item is None:  # shutdown sentinel
+                return
+            reqs, tokens, arr = item
+            try:
+                if self.reranker is not None:
+                    tokens = self.reranker(arr, tokens)
+                tokens = np.asarray(tokens)  # host fetch forces the batch
+                for i, req in enumerate(reqs):
+                    req.caption = self.tokenizer.decode(
+                        tokens[i], skip_special_tokens=True)
+            except Exception as e:
+                logger.exception("serving batch completion failed")
+                for req in reqs:
+                    req.error = f"{type(e).__name__}: {e}"
+            finally:
+                for req in reqs:
+                    req.event.set()
+
+    def _dispatch(self, images: List[np.ndarray]):
+        """Pad to the fixed batch and launch the jitted decode (async —
+        returns device futures, does not block on the result)."""
         import jax
         import jax.numpy as jnp
 
-        n = len(images)
-        batch = images + [images[-1]] * (self.batch_size - n)
+        batch = images + [images[-1]] * (self.batch_size - len(images))
         arr = jnp.asarray(np.stack(batch))
         self._rng, step_rng = jax.random.split(self._rng)
         with self.trainer._decode_ctx():
             tokens = self._decode_batch(self._estate, arr, step_rng)
+        return tokens, arr
+
+    def _run_images(self, images: List[np.ndarray]) -> List[str]:
+        """Synchronous decode (warmup / programmatic use)."""
+        tokens, arr = self._dispatch(images)
         if self.reranker is not None:
             tokens = self.reranker(arr, tokens)
         tokens = np.asarray(tokens)
         return [self.tokenizer.decode(tokens[i], skip_special_tokens=True)
-                for i in range(n)]
+                for i in range(len(images))]
 
 
 # -- HTTP layer --------------------------------------------------------------
