@@ -157,3 +157,74 @@ def visualize_attention(image: np.ndarray, words: List[str],
         plt.close()
         return save_path
     return plt.gcf()
+
+
+def main(argv=None):
+    """Script entry (reference: validate.py run as a script):
+
+    python -m image_captioning_ml_project_tpu.legacy.validate \
+        --data_root data --vocab vocab.json \
+        [--checkpoint_dir ckpts --encoder_ckpt ... --decoder_ckpt ...]
+    """
+    import argparse
+
+    from ..data.coco import COCOCaptionDataset
+    from ..data.tokenizer import WordVocab
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.logging import setup_logging
+    from .model import ShowAttendTell
+
+    p = argparse.ArgumentParser(
+        description="Legacy Show-Attend-Tell validation")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--vocab", type=str, required=True)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--encoder_ckpt", type=str, default="encoder_epoch_0")
+    p.add_argument("--decoder_ckpt", type=str, default="decoder_epoch_0")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--max_length", type=int, default=20)
+    p.add_argument("--use_bert", action="store_true")
+    args = p.parse_args(argv)
+
+    setup_logging(None)
+    vocab = WordVocab.load(args.vocab)
+    val_ds = COCOCaptionDataset(
+        args.data_root, "annotations/captions_val2014.json", "val2014",
+        vocab, image_size=args.image_size, is_training=False)
+    model = ShowAttendTell(vocab_size=len(vocab), use_bert=args.use_bert)
+
+    dummy = jnp.zeros((1, args.image_size, args.image_size, 3))
+    caps = jnp.zeros((1, 4), dtype=jnp.int32)
+    init_kw = {}
+    embedder = None
+    if args.use_bert:
+        from .bert_embedder import BertCaptionEmbedder
+
+        embedder = BertCaptionEmbedder()
+        init_kw["caption_embeddings"] = jnp.zeros((1, 4, 768))
+    variables = dict(model.init(jax.random.PRNGKey(0), dummy, caps,
+                                **init_kw))
+    batch_stats = variables.get("batch_stats", {})
+    params = dict(variables["params"])
+    if args.checkpoint_dir:
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        enc, _, _ = ckpt.restore(args.encoder_ckpt)
+        dec, _, _ = ckpt.restore(args.decoder_ckpt)
+        params["encoder"] = enc["params"]
+        params["decoder"] = dec["params"]
+        if enc.get("batch_stats"):
+            batch_stats = {"encoder": enc["batch_stats"]}
+    state = LegacyTrainState(params=params, batch_stats=batch_stats,
+                             opt_state=None, step=jnp.zeros((), jnp.int32))
+
+    metrics = validate(model, state, val_ds, vocab,
+                       batch_size=args.batch_size,
+                       max_length=args.max_length, bert_embedder=embedder)
+    for k, v in metrics.items():
+        print(f"{k}: {v:.4f}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

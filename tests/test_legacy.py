@@ -367,6 +367,19 @@ def test_legacy_train_cli(coco, tmp_path):
 
     assert os.path.exists(tmp_path / "ckpt" / "encoder_epoch_0")
 
+    # validate CLI on the checkpoints the train CLI just wrote
+    # (reference validate.py run as a script)
+    from image_captioning_ml_project_tpu.legacy.validate import (
+        main as validate_main,
+    )
+
+    metrics = validate_main([
+        "--data_root", root, "--vocab", vocab_path, "--batch_size", "6",
+        "--image_size", "32", "--max_length", "8",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert metrics["loss"] > 0 and 0.0 <= metrics["Bleu_4"] <= 1.0
+
 
 def test_resize_token_embeddings():
     import numpy as np
