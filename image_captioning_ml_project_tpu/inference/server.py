@@ -386,11 +386,12 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
 
 def serve(config, checkpoint_path: str = None, tokenizer=None,
           host: str = "127.0.0.1", port: int = 8000, batch_size: int = 8,
-          max_wait_ms: float = 10.0):
+          max_wait_ms: float = 10.0, pipeline_depth: int = 2):
     """CLI entry: build the service, warm it up, and serve forever."""
     service = CaptionService(config, tokenizer=tokenizer,
                              checkpoint_path=checkpoint_path,
-                             batch_size=batch_size, max_wait_ms=max_wait_ms)
+                             batch_size=batch_size, max_wait_ms=max_wait_ms,
+                             pipeline_depth=pipeline_depth)
     service.start(warmup=True)
     httpd = make_http_server(service, host, port)
     logger.info("Serving captions on http://%s:%d (batch %d, max wait "

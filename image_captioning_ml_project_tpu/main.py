@@ -87,6 +87,9 @@ def build_argparser() -> argparse.ArgumentParser:
     serve.add_argument("--serve_batch_size", type=int, default=8,
                        help="Micro-batch size the jitted decode is compiled "
                             "for (rounded up to a data-mesh multiple)")
+    serve.add_argument("--serve_pipeline_depth", type=int, default=2,
+                       help="device batches in flight: the batcher dispatches "
+                            "batch N+1 while batch N is still being fetched")
     serve.add_argument("--serve_max_wait_ms", type=float, default=10.0,
                        help="Max time the batcher holds a partial batch "
                             "waiting for more requests")
@@ -428,7 +431,8 @@ def main(argv=None):
         serve(config, args.checkpoint, tokenizer=tokenizer,
               host=args.host, port=args.port,
               batch_size=args.serve_batch_size,
-              max_wait_ms=args.serve_max_wait_ms)
+              max_wait_ms=args.serve_max_wait_ms,
+              pipeline_depth=args.serve_pipeline_depth)
 
 
 if __name__ == "__main__":

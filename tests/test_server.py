@@ -140,6 +140,29 @@ def test_concurrent_submits_share_batches(served):
     assert snap["errors"] == 0
 
 
+def test_flooded_batches_pipeline_correctly(served):
+    """3+ full batches in flight at once: the dispatch/complete pipeline
+    (bounded _pending queue) must preserve per-request caption identity and
+    complete everything without errors."""
+    cfg, vocab, service, _ = served
+    images = _rand_images(24, seed=11)
+    solo = [service.submit(img) for img in images]
+
+    results = [None] * len(images)
+
+    def worker(i):
+        results[i] = service.submit(images[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(images))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == solo
+    assert service.stats.snapshot()["errors"] == 0
+
+
 def test_caption_bytes_roundtrip(served):
     """Encoded-bytes path: PNG bytes of an already-square image decode to
     the same caption as submitting the raw array (lossless codec, so the
