@@ -157,7 +157,10 @@ class CaptionService:
         # Dispatch/fetch pipeline: JAX dispatch is async, so the batcher
         # launches batch N+1 on the device while the completer thread is
         # still host-fetching + detokenizing batch N. The bounded queue
-        # caps in-flight device batches at ``pipeline_depth``.
+        # caps in-flight device batches at ``pipeline_depth``; depth<=1
+        # disables the pipeline (batches complete synchronously on the
+        # batcher thread — Queue(0) would mean *unbounded*, not zero).
+        self._sync = pipeline_depth <= 1
         self._pending: "queue.Queue" = queue.Queue(
             maxsize=max(1, pipeline_depth - 1))
         self._stop = threading.Event()
@@ -212,10 +215,25 @@ class CaptionService:
 
     def submit(self, image: np.ndarray) -> str:
         """Caption one preprocessed uint8 [size, size, 3] image (blocking)."""
+        return self.result(self.submit_async(image))
+
+    def submit_async(self, image: np.ndarray) -> "_Request":
+        """Enqueue a caption request and return its handle immediately.
+
+        Open-loop clients enqueue many requests and then collect with
+        ``result``; requests enqueued together fill micro-batches without
+        needing one caller thread per image.
+        """
         self.stats.record_request()
         req = _Request(np.ascontiguousarray(image, dtype=np.uint8))
         self._queue.put(req)
-        if not req.event.wait(self.request_timeout_s):
+        return req
+
+    def result(self, req: "_Request", timeout: float = None) -> str:
+        """Block until a ``submit_async`` request completes; return its
+        caption (raises on decode error or timeout)."""
+        if not req.event.wait(self.request_timeout_s
+                              if timeout is None else timeout):
             self.stats.record_done(time.monotonic() - req.t_enqueue,
                                    error=True)
             raise TimeoutError("caption request timed out")
@@ -264,7 +282,8 @@ class CaptionService:
 
     def _serve_batch(self, reqs: List[_Request]):
         """Dispatch one device batch; completion happens on the completer
-        thread (the bounded put is the pipeline-depth backpressure)."""
+        thread (the bounded put is the pipeline-depth backpressure), or
+        inline when the pipeline is disabled (depth<=1)."""
         self.stats.record_batch(len(reqs))
         try:
             tokens, arr = self._dispatch([r.image for r in reqs])
@@ -274,28 +293,33 @@ class CaptionService:
                 req.error = f"{type(e).__name__}: {e}"
                 req.event.set()
             return
-        self._pending.put((reqs, tokens, arr))
+        if self._sync:
+            self._complete_batch(reqs, tokens, arr)
+        else:
+            self._pending.put((reqs, tokens, arr))
 
     def _complete_loop(self):
         while True:
             item = self._pending.get()
             if item is None:  # shutdown sentinel
                 return
-            reqs, tokens, arr = item
-            try:
-                if self.reranker is not None:
-                    tokens = self.reranker(arr, tokens)
-                tokens = np.asarray(tokens)  # host fetch forces the batch
-                for i, req in enumerate(reqs):
-                    req.caption = self.tokenizer.decode(
-                        tokens[i], skip_special_tokens=True)
-            except Exception as e:
-                logger.exception("serving batch completion failed")
-                for req in reqs:
-                    req.error = f"{type(e).__name__}: {e}"
-            finally:
-                for req in reqs:
-                    req.event.set()
+            self._complete_batch(*item)
+
+    def _complete_batch(self, reqs, tokens, arr):
+        try:
+            if self.reranker is not None:
+                tokens = self.reranker(arr, tokens)
+            tokens = np.asarray(tokens)  # host fetch forces the batch
+            for i, req in enumerate(reqs):
+                req.caption = self.tokenizer.decode(
+                    tokens[i], skip_special_tokens=True)
+        except Exception as e:
+            logger.exception("serving batch completion failed")
+            for req in reqs:
+                req.error = f"{type(e).__name__}: {e}"
+        finally:
+            for req in reqs:
+                req.event.set()
 
     def _dispatch(self, images: List[np.ndarray]):
         """Pad to the fixed batch and launch the jitted decode (async —

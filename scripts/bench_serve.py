@@ -1,0 +1,212 @@
+"""Serving throughput: closed-loop clients against the CaptionService.
+
+The reference has no serving analogue (closest: the one-image demo,
+reference: src/main.py:270-343); this measures the production surface we
+added — request micro-batching + the dispatch/complete pipeline — at
+flagship size on the chip.
+
+Method: N closed-loop client threads (each submits a raw image and blocks
+until its caption returns) flood one in-process CaptionService for a fixed
+window; throughput = completed requests / window, latency percentiles from
+ServerStats. Every completion involved a real host fetch (np.asarray in
+the completer), so dispatch chains cannot hide device time. HTTP is
+deliberately excluded — it measures the stdlib socket stack, not the
+serving core (the HTTP layer is one client of this service).
+
+Two phases: pipeline_depth=1 (synchronous: fetch+detokenize of batch N
+blocks the dispatch of N+1) vs depth=2 (the default: the completer thread
+overlaps batch N's host work with batch N+1's device work). On a
+tunnel-attached dev box the overlap hides the ~16-20 ms dispatch RTT per
+batch; on a real PCIe host it hides the detokenize + fetch cost.
+
+Usage: python scripts/bench_serve.py [seconds_per_phase]
+Env: SERVE_BATCH (default 64 TPU / 8 CPU), SERVE_CLIENTS (default 3x batch),
+     SERVE_DEPTHS (default "1,2").
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _backend_responsive(timeout_s: int = 300) -> bool:
+    """Same subprocess probe as bench.py: the axon tunnel can wedge."""
+    import subprocess
+
+    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", timeout_s))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def build_config(on_tpu: bool):
+    from image_captioning_ml_project_tpu.config import (
+        AttentionType, DecoderType, EncoderType, get_default_config)
+
+    c = get_default_config()
+    c.model.encoder.encoder_type = EncoderType.CLIP
+    c.model.decoder.decoder_type = DecoderType.GPT2
+    c.model.attention.attention_type = AttentionType.AOA
+    if on_tpu:  # flagship: CLIP ViT-B/32 vision tower + GPT-2 12L/12H/768
+        c.model.encoder.hidden_size = 768
+        c.model.encoder.num_layers = 12
+        c.model.encoder.num_heads = 12
+        c.model.encoder.patch_size = 32
+        c.model.decoder.hidden_dim = 768
+        c.model.decoder.num_layers = 12
+        c.model.decoder.num_heads = 12
+        c.model.vocab_size = 50257
+        batch = int(os.environ.get("SERVE_BATCH", "64"))
+    else:
+        c.model.encoder.hidden_size = 64
+        c.model.encoder.num_layers = 2
+        c.model.encoder.num_heads = 2
+        c.model.encoder.patch_size = 32
+        c.model.encoder.feature_dim = 64
+        c.model.decoder.hidden_dim = 64
+        c.model.decoder.num_layers = 2
+        c.model.decoder.num_heads = 2
+        c.model.projection_dim = 64
+        c.model.attention.hidden_dim = 64
+        c.model.vocab_size = 1000
+        batch = int(os.environ.get("SERVE_BATCH", "8"))
+    c.model.decoder.prefix_length = 10
+    c.inference.beam_size = 5
+    c.inference.max_length = 20
+    c.inference.length_penalty = 0.8
+    c.inference.decoding_strategy = "beam"
+    c.inference.use_clip_rerank = False
+    return c, batch
+
+
+class _Vocab:
+    """Minimal tokenizer stand-in: decode cost ~ a real WordVocab's."""
+
+    def __init__(self, n):
+        self.words = [f"w{i}" for i in range(n)]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(self.words[int(i) % len(self.words)]
+                        for i in np.asarray(ids) if int(i) > 3)
+
+    def __len__(self):
+        return len(self.words)
+
+
+def flood_open(service, images, seconds: float, window: int):
+    """Open-loop: ONE driver thread keeps `window` requests in flight via
+    submit_async/result — measures the serving core without the GIL churn
+    of hundreds of closed-loop client threads."""
+    from collections import deque
+
+    rs = np.random.RandomState(0)
+    inflight = deque()
+    done = 0
+    t0 = time.perf_counter()
+    deadline = t0 + seconds
+    while time.perf_counter() < deadline:
+        while len(inflight) < window:
+            inflight.append(
+                service.submit_async(images[rs.randint(len(images))]))
+        service.result(inflight.popleft())
+        done += 1
+    while inflight:
+        service.result(inflight.popleft())
+        done += 1
+    wall = time.perf_counter() - t0
+    return done, wall, service.stats.snapshot()
+
+
+def flood(service, images, seconds: float, clients: int):
+    """Closed-loop clients; returns (completed, wall_s, stats_snapshot)."""
+    stop = threading.Event()
+    counts = [0] * clients
+
+    def client(ci):
+        rs = np.random.RandomState(ci)
+        while not stop.is_set():
+            service.submit(images[rs.randint(len(images))])
+            counts[ci] += 1
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(seconds)
+    stop.set()
+    for t in threads:
+        t.join(timeout=120)
+    wall = time.perf_counter() - t0
+    return sum(counts), wall, service.stats.snapshot()
+
+
+def main():
+    if not _backend_responsive():
+        print("bench_serve.py: accelerator backend unresponsive; "
+              "falling back to CPU run", file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from image_captioning_ml_project_tpu.inference.server import (
+        CaptionService)
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else (
+        30.0 if on_tpu else 6.0)
+    cfg, batch = build_config(on_tpu)
+    clients = int(os.environ.get("SERVE_CLIENTS", str(3 * batch)))
+    depths = [int(d) for d in
+              os.environ.get("SERVE_DEPTHS", "1,2").split(",")]
+
+    rs = np.random.RandomState(0)
+    images = [rs.randint(0, 256, (cfg.image_size, cfg.image_size, 3),
+                         dtype=np.uint8) for _ in range(64)]
+    vocab = _Vocab(cfg.model.vocab_size)
+
+    mode = os.environ.get("SERVE_MODE", "closed")
+    for depth in depths:
+        service = CaptionService(cfg, tokenizer=vocab, batch_size=batch,
+                                 max_wait_ms=5.0, request_timeout_s=300.0,
+                                 pipeline_depth=depth)
+        service.start(warmup=True)
+        # steady the jit + thread pool before the measured window
+        warm_s = min(5.0, seconds / 3)
+        if mode == "open":
+            flood_open(service, images, warm_s, window=clients)
+            service.stats = type(service.stats)()
+            done, wall, snap = flood_open(service, images, seconds,
+                                          window=clients)
+        else:
+            flood(service, images, warm_s, clients=clients)
+            service.stats = type(service.stats)()
+            done, wall, snap = flood(service, images, seconds, clients)
+        service.stop()
+        print(json.dumps({
+            "metric": f"serve_captions_per_sec[{backend}]",
+            "mode": mode,
+            "pipeline_depth": depth,
+            "batch": service.batch_size,
+            "clients": clients,
+            "value": round(done / wall, 2),
+            "mean_batch_fill": snap["mean_batch_fill"],
+            "latency_ms": snap["latency_ms"],
+            "errors": snap["errors"],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

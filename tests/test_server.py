@@ -250,6 +250,36 @@ def test_stats_percentiles_and_window():
     assert stats.snapshot()["errors"] == 1
 
 
+def test_sync_mode_matches_pipelined(served):
+    """pipeline_depth=1 disables the dispatch/complete pipeline (batches
+    finish synchronously on the batcher thread) and yields the same
+    captions as the pipelined default."""
+    cfg, vocab, service, _ = served
+    images = _rand_images(10, seed=23)
+    want = [service.submit(img) for img in images]
+
+    sync = CaptionService(cfg, tokenizer=vocab, batch_size=8,
+                          max_wait_ms=30.0, pipeline_depth=1)
+    assert sync._sync
+    sync.start(warmup=False)
+    try:
+        results = [None] * len(images)
+
+        def worker(i):
+            results[i] = sync.submit(images[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(images))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert results == want
+        assert sync.stats.snapshot()["errors"] == 0
+    finally:
+        sync.stop()
+
+
 def test_stop_fails_queued_requests():
     """Stopped service surfaces shutdown to queued callers, not a hang."""
     stats = ServerStats()
