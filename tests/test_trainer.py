@@ -118,22 +118,42 @@ def test_validation_metrics(setup):
 def test_no_retrace_across_batches(setup):
     """One compiled program per phase: a second epoch / validation pass
     must hit the jit cache, not retrace (a retrace on TPU is a multi-
-    minute recompile per batch — the classic silent perf regression)."""
+    minute recompile per batch — the classic silent perf regression).
+
+    Detection is via ``jax.log_compiles`` record capture, not
+    ``PjitFunction._cache_size()``: the latter is a view over jaxlib's
+    *shared bounded* pjit LRU, and under full-suite pressure entries are
+    evicted/weakref-dropped, reading 0 for a program that never retraced
+    (observed: the == 1 assert flaked suite-wide but passed in
+    isolation). ``jax.clear_caches()`` first makes the test hermetic
+    either way."""
+    import logging
+
     cfg, vocab, train_ds, val_ds = setup
+    jax.clear_caches()
     trainer = CaptioningTrainer(cfg, train_ds, val_ds, vocab)
     trainer.train()
     trainer._validate_epoch(0)
-    sizes = {
-        "train_step": trainer._train_step._cache_size(),
-        "eval_loss_step": trainer._eval_loss_step._cache_size(),
-        "val_decode_step": trainer._val_decode_step._cache_size(),
-    }
-    # second epoch + second validation: cache sizes must not grow
-    trainer.train()
-    trainer._validate_epoch(1)
-    assert trainer._train_step._cache_size() == sizes["train_step"] == 1
-    assert trainer._eval_loss_step._cache_size() == sizes["eval_loss_step"]
-    assert trainer._val_decode_step._cache_size() == sizes["val_decode_step"]
+
+    class _Capture(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.WARNING)
+            self.records = []
+
+        def emit(self, record):
+            if "compil" in record.getMessage().lower():
+                self.records.append(record.getMessage())
+
+    cap = _Capture()
+    logging.getLogger("jax").addHandler(cap)
+    try:
+        # second epoch + second validation must not (re)compile anything
+        with jax.log_compiles():
+            trainer.train()
+            trainer._validate_epoch(1)
+    finally:
+        logging.getLogger("jax").removeHandler(cap)
+    assert cap.records == [], cap.records
 
 
 def test_eval_state_precast_token_identical(setup):
