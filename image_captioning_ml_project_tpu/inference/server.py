@@ -105,6 +105,37 @@ class ServerStats:
                                         2),
             }
 
+    def prometheus(self) -> str:
+        """The same snapshot in Prometheus text exposition format."""
+        s = self.snapshot()
+        lines = []
+
+        def metric(name, mtype, value, help_text, labels=""):
+            lines.append(f"# HELP {name} {help_text}")
+            lines.append(f"# TYPE {name} {mtype}")
+            lines.append(f"{name}{labels} {value}")
+
+        metric("ict_requests_total", "counter", s["requests"],
+               "Caption requests received")
+        metric("ict_completed_total", "counter", s["completed"],
+               "Caption requests completed successfully")
+        metric("ict_errors_total", "counter", s["errors"],
+               "Caption requests that failed")
+        metric("ict_batches_total", "counter", s["batches"],
+               "Device batches launched")
+        metric("ict_batch_fill_mean", "gauge", s["mean_batch_fill"],
+               "Mean real rows per launched batch")
+        metric("ict_uptime_seconds", "gauge", s["uptime_s"],
+               "Seconds since service start")
+        lat = s["latency_ms"]
+        lines.append("# HELP ict_latency_ms Request latency percentiles "
+                     "over the stats window")
+        lines.append("# TYPE ict_latency_ms summary")
+        for q, key in (("0.5", "p50"), ("0.95", "p95"), ("0.99", "p99")):
+            if lat[key] is not None:
+                lines.append(f'ict_latency_ms{{quantile="{q}"}} {lat[key]}')
+        return "\n".join(lines) + "\n"
+
 
 class _Request:
     __slots__ = ("image", "caption", "error", "event", "t_enqueue")
@@ -243,6 +274,22 @@ class CaptionService:
             raise RuntimeError(req.error)
         return req.caption
 
+    def reload_checkpoint(self, name: str) -> dict:
+        """Hot-swap serving weights from a checkpoint without downtime.
+
+        The restore happens off the batcher thread; the one-line attribute
+        swap of the pre-cast eval state is atomic, so in-flight batches
+        finish on the old weights and the next dispatch reads the new ones.
+        Shapes are unchanged (same model config), so the jitted decode
+        program is reused — no recompile stall.
+        """
+        t0 = time.monotonic()
+        self.trainer.load_checkpoint(name)
+        self._estate = self.trainer.eval_state()
+        dt = time.monotonic() - t0
+        logger.info("Reloaded checkpoint %r in %.1fs", name, dt)
+        return {"reloaded": name, "seconds": round(dt, 2)}
+
     def caption_bytes(self, data: bytes) -> str:
         """Caption raw encoded image bytes (JPEG/PNG/...).
 
@@ -372,10 +419,27 @@ def _make_handler(service: CaptionService):
                 })
             elif self.path == "/stats":
                 self._reply(200, service.stats.snapshot())
+            elif self.path == "/metrics":
+                body = service.stats.prometheus().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length))
+                    self._reply(200,
+                                service.reload_checkpoint(req["checkpoint"]))
+                except Exception as e:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/caption":
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -421,6 +485,20 @@ def serve(config, checkpoint_path: str = None, tokenizer=None,
     logger.info("Serving captions on http://%s:%d (batch %d, max wait "
                 "%.0f ms) — POST image bytes to /caption", host,
                 httpd.server_address[1], service.batch_size, max_wait_ms)
+
+    # Graceful drain: SIGTERM stops accepting connections; service.stop()
+    # then completes already-dispatched batches and fails still-queued
+    # requests with a shutdown error instead of hanging their clients.
+    import signal
+
+    def _drain(signum, frame):
+        logger.info("SIGTERM: draining caption service")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _drain)
+    except ValueError:  # not the main thread (programmatic use)
+        pass
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

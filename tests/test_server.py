@@ -48,6 +48,7 @@ def served(tmp_path_factory):
     cfg.image_size = 32
     cfg.seed = 0
     cfg.output_dir = str(tmp_path_factory.mktemp("out"))
+    cfg.checkpoint_dir = str(tmp_path_factory.mktemp("ckpt"))
     cfg.model.encoder.encoder_type = EncoderType.VIT
     cfg.model.encoder.feature_dim = 16
     cfg.model.encoder.hidden_size = 16
@@ -248,6 +249,44 @@ def test_stats_percentiles_and_window():
     assert snap["completed"] == 6
     stats.record_done(0.001, error=True)
     assert stats.snapshot()["errors"] == 1
+
+
+def test_metrics_prometheus_endpoint(served):
+    """GET /metrics speaks Prometheus text exposition format."""
+    *_, port = served
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics",
+                                timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert "ict_requests_total" in body
+    assert "ict_batches_total" in body
+    for line in body.splitlines():  # every sample line parses as a number
+        if line and not line.startswith("#"):
+            float(line.rsplit(" ", 1)[1])
+
+
+def test_hot_reload_checkpoint(served):
+    """POST /reload swaps serving weights without downtime: scrambled live
+    weights are restored from the checkpoint and captions return to the
+    pre-scramble output."""
+    import jax
+
+    cfg, vocab, service, port = served
+    img = _rand_images(1, seed=31)[0]
+    want = service.submit(img)
+
+    service.trainer.save_checkpoint(0, is_best=True)  # writes "best_model"
+    service._estate = service._estate.replace(
+        params=jax.tree.map(lambda a: a * 0, service._estate.params))
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/reload",
+        data=json.dumps({"checkpoint": "best_model"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        resp = json.loads(r.read())
+    assert resp["reloaded"] == "best_model"
+    assert service.submit(img) == want
 
 
 def test_sync_mode_matches_pipelined(served):
