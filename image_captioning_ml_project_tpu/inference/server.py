@@ -88,8 +88,13 @@ class ServerStats:
             def pct(p):
                 if not lat:
                     return None
-                return round(lat[min(len(lat) - 1,
-                                     int(p / 100.0 * len(lat)))], 2)
+                # nearest-rank: ceil(p/100 * n) - 1 (int(p/100*n) reads one
+                # rank high whenever the rank lands on an integer — e.g.
+                # p50 of [10, 20] would report 20)
+                import math
+
+                rank = max(0, math.ceil(p / 100.0 * len(lat)) - 1)
+                return round(lat[min(len(lat) - 1, rank)], 2)
 
             return {
                 "requests": self.requests,
@@ -210,13 +215,15 @@ class CaptionService:
             self._run_images([dummy])
             logger.info("Serving warmup compile: %.1fs (batch %d)",
                         time.monotonic() - t0, self.batch_size)
+        self._stop.clear()
         self._thread = threading.Thread(target=self._batch_loop,
                                         name="caption-batcher", daemon=True)
-        self._completer = threading.Thread(target=self._complete_loop,
-                                           name="caption-completer",
-                                           daemon=True)
         self._thread.start()
-        self._completer.start()
+        if not self._sync:
+            self._completer = threading.Thread(target=self._complete_loop,
+                                               name="caption-completer",
+                                               daemon=True)
+            self._completer.start()
         return self
 
     def stop(self):
@@ -225,7 +232,11 @@ class CaptionService:
             self._thread.join(timeout=10)
             self._thread = None
         if self._completer is not None:
-            self._pending.put(None)  # sentinel after the batcher stopped
+            # the completer drains remaining dispatched batches, then sees
+            # _stop on its poll timeout and exits — no sentinel, so nothing
+            # here can block on the bounded queue (a completer hung on a
+            # wedged host fetch just times this join out; the drain below
+            # still fails whatever it left behind)
             self._completer.join(timeout=30)
             self._completer = None
         # fail any stragglers still queued or in flight
@@ -254,9 +265,26 @@ class CaptionService:
         Open-loop clients enqueue many requests and then collect with
         ``result``; requests enqueued together fill micro-batches without
         needing one caller thread per image.
+
+        The image must already be the serving shape and dtype: one
+        malformed row would otherwise fail its whole micro-batch
+        (np.stack) or — worse — present the jitted decode with a novel
+        shape, a multi-minute XLA recompile stalling every client.
         """
+        if self._stop.is_set() or self._thread is None:
+            raise RuntimeError("caption service is not running")
+        image = np.asarray(image)
+        size = self.config.image_size
+        if image.shape != (size, size, 3):
+            raise ValueError(
+                f"expected a preprocessed [{size}, {size}, 3] image, got "
+                f"{image.shape} (encoded bytes go through caption_bytes)")
+        if image.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 pixels, got {image.dtype} (a float image "
+                "would be silently truncated, not normalized)")
         self.stats.record_request()
-        req = _Request(np.ascontiguousarray(image, dtype=np.uint8))
+        req = _Request(np.ascontiguousarray(image))
         self._queue.put(req)
         return req
 
@@ -294,9 +322,13 @@ class CaptionService:
         """Caption raw encoded image bytes (JPEG/PNG/...).
 
         Host preprocessing matches the eval/demo transform exactly
-        (data/coco.load_image: shorter-side resize + center crop), so a
-        served caption is bit-identical to ``--mode demo`` on the same
-        file at equal weights.
+        (data/coco.load_image: shorter-side resize + center crop), and the
+        decode runs the same jitted program family at the same weights —
+        pinned token-identical to the demo CLI by test on the CPU mesh
+        (tests/test_server.py::test_submit_matches_demo_decode). Caveat:
+        serve decodes at ``batch_size`` while demo decodes batch 1; XLA
+        gives no cross-batch-shape bitwise guarantee, so a near-tied beam
+        step could in principle diverge on TPU at other sizes.
         """
         from PIL import Image
 
@@ -342,14 +374,27 @@ class CaptionService:
             return
         if self._sync:
             self._complete_batch(reqs, tokens, arr)
-        else:
-            self._pending.put((reqs, tokens, arr))
+            return
+        # bounded put = pipeline-depth backpressure; poll _stop so a
+        # shutdown with a stalled completer can't wedge the batcher here
+        while not self._stop.is_set():
+            try:
+                self._pending.put((reqs, tokens, arr), timeout=0.1)
+                return
+            except queue.Full:
+                continue
+        for req in reqs:
+            req.error = "server shutting down"
+            req.event.set()
 
     def _complete_loop(self):
         while True:
-            item = self._pending.get()
-            if item is None:  # shutdown sentinel
-                return
+            try:
+                item = self._pending.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
             self._complete_batch(*item)
 
     def _complete_batch(self, reqs, tokens, arr):
@@ -372,10 +417,17 @@ class CaptionService:
         """Pad to the fixed batch and launch the jitted decode (async —
         returns device futures, does not block on the result)."""
         import jax
-        import jax.numpy as jnp
+
+        from ..data.pipeline import shard_batch
 
         batch = images + [images[-1]] * (self.batch_size - len(images))
-        arr = jnp.asarray(np.stack(batch))
+        # same placement policy as the eval pipeline: batch-axis-sharded
+        # device_put over the mesh's data axis (each chip receives only its
+        # rows; a plain jnp.asarray would commit the whole batch to device 0
+        # and pay an on-device reshard per micro-batch)
+        mesh = self.trainer.mesh if self.trainer.mesh.size > 1 else None
+        arr = shard_batch({"image": np.stack(batch)}, mesh,
+                          self.config.mesh.data_axis)["image"]
         self._rng, step_rng = jax.random.split(self._rng)
         with self.trainer._decode_ctx():
             tokens = self._decode_batch(self._estate, arr, step_rng)

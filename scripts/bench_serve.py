@@ -35,57 +35,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _backend_responsive(timeout_s: int = 300) -> bool:
-    """Same subprocess probe as bench.py: the axon tunnel can wedge."""
-    import subprocess
-
-    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", timeout_s))
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s, capture_output=True, text=True)
-        return "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def build_config(on_tpu: bool):
-    from image_captioning_ml_project_tpu.config import (
-        AttentionType, DecoderType, EncoderType, get_default_config)
+    """bench.py's flagship config (shared builder — no drift), serving
+    knobs applied on top."""
+    from bench import build_flagship
 
-    c = get_default_config()
-    c.model.encoder.encoder_type = EncoderType.CLIP
-    c.model.decoder.decoder_type = DecoderType.GPT2
-    c.model.attention.attention_type = AttentionType.AOA
-    if on_tpu:  # flagship: CLIP ViT-B/32 vision tower + GPT-2 12L/12H/768
-        c.model.encoder.hidden_size = 768
-        c.model.encoder.num_layers = 12
-        c.model.encoder.num_heads = 12
-        c.model.encoder.patch_size = 32
-        c.model.decoder.hidden_dim = 768
-        c.model.decoder.num_layers = 12
-        c.model.decoder.num_heads = 12
-        c.model.vocab_size = 50257
-        batch = int(os.environ.get("SERVE_BATCH", "64"))
-    else:
-        c.model.encoder.hidden_size = 64
-        c.model.encoder.num_layers = 2
-        c.model.encoder.num_heads = 2
-        c.model.encoder.patch_size = 32
-        c.model.encoder.feature_dim = 64
-        c.model.decoder.hidden_dim = 64
-        c.model.decoder.num_layers = 2
-        c.model.decoder.num_heads = 2
-        c.model.projection_dim = 64
-        c.model.attention.hidden_dim = 64
-        c.model.vocab_size = 1000
-        batch = int(os.environ.get("SERVE_BATCH", "8"))
-    c.model.decoder.prefix_length = 10
-    c.inference.beam_size = 5
-    c.inference.max_length = 20
-    c.inference.length_penalty = 0.8
+    c, _model, batch = build_flagship(on_tpu)
+    batch = int(os.environ.get("SERVE_BATCH", str(batch)))
     c.inference.decoding_strategy = "beam"
-    c.inference.use_clip_rerank = False
+    c.inference.use_clip_reranking = False
     return c, batch
 
 
@@ -152,6 +110,8 @@ def flood(service, images, seconds: float, clients: int):
 
 
 def main():
+    from bench import _backend_responsive
+
     if not _backend_responsive():
         print("bench_serve.py: accelerator backend unresponsive; "
               "falling back to CPU run", file=sys.stderr)

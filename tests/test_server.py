@@ -319,6 +319,21 @@ def test_sync_mode_matches_pipelined(served):
         sync.stop()
 
 
+def test_submit_validates_shape_dtype_and_liveness(served):
+    """Malformed images fail fast at submit (one bad row would otherwise
+    poison its whole micro-batch or force a service-wide recompile), and
+    submitting to a not-started service raises instead of hanging."""
+    cfg, vocab, service, _ = served
+    with pytest.raises(ValueError, match="expected a preprocessed"):
+        service.submit(np.zeros((16, 16, 3), np.uint8))
+    with pytest.raises(ValueError, match="uint8"):
+        service.submit(np.zeros((32, 32, 3), np.float32))
+
+    idle = CaptionService(cfg, tokenizer=vocab, batch_size=8)
+    with pytest.raises(RuntimeError, match="not running"):
+        idle.submit(_rand_images(1)[0])
+
+
 def test_stop_fails_queued_requests():
     """Stopped service surfaces shutdown to queued callers, not a hang."""
     stats = ServerStats()
