@@ -90,7 +90,7 @@ def _gather_state(state, flat_indices):
 def greedy_decode(step_fn, init_state, batch_size: int, bos_token_id: int,
                   max_length: int, eos_token_id: Optional[int] = None,
                   pad_token_id: Optional[int] = None,
-                  min_length: int = 0) -> jnp.ndarray:
+                  min_length: int = 0, early_exit: bool = True) -> jnp.ndarray:
     """Greedy argmax decode. Output [B, max_length]; position 0 is BOS
     (parity with the reference generate loops).
 
@@ -107,8 +107,7 @@ def greedy_decode(step_fn, init_state, batch_size: int, bos_token_id: int,
         pad_token_id = eos_token_id
     done = jnp.zeros((batch_size,), dtype=bool)
 
-    def body(carry, _):
-        state, current, done, t = carry
+    def _next(state, current, done, t):
         logits, state = step_fn(state, current)
         if eos_token_id is not None and min_length > 0:
             logits = jnp.where(
@@ -119,6 +118,31 @@ def greedy_decode(step_fn, init_state, batch_size: int, bos_token_id: int,
         if eos_token_id is not None:
             nxt = jnp.where(done, pad_token_id, nxt)
             done = done | (nxt == eos_token_id)
+        return state, nxt, done
+
+    if eos_token_id is not None and early_exit:
+        # all rows done -> the scan's remaining steps would only emit pad
+        # into a buffer that is already pad: skip them (token-identical;
+        # tests/test_decoding.py::test_greedy_early_exit_token_identical)
+        out = jnp.full((batch_size, max_length), pad_token_id, jnp.int32)
+        out = out.at[:, 0].set(bos_token_id)
+
+        def cond_fn(c):
+            return (c[3] < max_length) & ~jnp.all(c[2])
+
+        def wbody(c):
+            state, current, done, t, out = c
+            state, nxt, done = _next(state, current, done, t)
+            return (state, nxt, done, t + 1, out.at[:, t].set(nxt))
+
+        out = jax.lax.while_loop(
+            cond_fn, wbody,
+            (init_state, current, done, jnp.asarray(1), out))[4]
+        return out
+
+    def body(carry, _):
+        state, current, done, t = carry
+        state, nxt, done = _next(state, current, done, t)
         return (state, nxt, done, t + 1), current
 
     _, tokens = jax.lax.scan(
@@ -212,7 +236,8 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
                 diversity_penalty: float = 0.0,
                 return_all: bool = False,
                 topk_method: str = "two_stage",
-                hf_compat: bool = True) -> BeamResult:
+                hf_compat: bool = True,
+                early_exit: bool = True) -> BeamResult:
     """Batched (diverse) beam search with KV cache, fully jit-compatible.
 
     ``init_state`` is the *untiled* [B, ...] decode state; it is tiled to
@@ -433,8 +458,30 @@ def beam_search(step_fn, init_state, batch_size: int, beam_size: int,
                 stopped), None
 
     carry = (state, sequences, live_scores, fin_seqs, fin_scores, stopped)
-    (state, sequences, live_scores, fin_seqs, fin_scores, stopped), _ = \
-        jax.lax.scan(body, carry, jnp.arange(1, L))
+    if hf_compat and early_exit:
+        # HF's generation loop exits once every batch has stopped; the
+        # static scan instead burns the remaining steps on frozen state.
+        # A while_loop with an all-stopped condition skips them — token-
+        # identical by construction: a stopped batch's finished set is a
+        # fixed point (candidates are masked to -inf, and top_k over the
+        # already-sorted finished scores is the identity), and its live
+        # beams are excluded from the final merge below. At trained
+        # weights captions finish well short of max_length, so production
+        # eval/serving decodes drop the dead tail entirely
+        # (tests/test_decoding.py::test_beam_early_exit_token_identical).
+        def cond_fn(c):
+            return (c[0] < L) & ~jnp.all(c[6])
+
+        def while_body(c):
+            new_carry, _ = body(c[1:], c[0])
+            return (c[0] + 1, *new_carry)
+
+        out = jax.lax.while_loop(
+            cond_fn, while_body, (jnp.asarray(1, jnp.int32), *carry))
+        state, sequences, live_scores, fin_seqs, fin_scores, stopped = out[1:]
+    else:
+        (state, sequences, live_scores, fin_seqs, fin_scores, stopped), _ = \
+            jax.lax.scan(body, carry, jnp.arange(1, L))
 
     # Merge unfinished live beams (normalized at full length) with finished.
     live_norm = live_scores / (float(L - 1) ** length_penalty)

@@ -233,6 +233,62 @@ def test_diverse_beam_groups_differ():
     assert np.asarray(res1.tokens).shape == (1, 4, 6)
 
 
+def test_beam_early_exit_token_identical(rng):
+    """The while_loop early exit (all batches stopped -> skip the dead
+    tail of steps) returns exactly the scan path's tokens AND scores, on
+    EOS-eager chains (stop fires long before max_length), EOS-averse
+    chains (never stops -> full length), and a mix of both in one batch."""
+    for seed in range(4):
+        rs = np.random.RandomState(seed)
+        averse = jnp.asarray(rs.randn(V, V).astype(np.float32) * 2.0)
+        eager = averse.at[:, EOS].add(6.0)  # finishes within a few steps
+
+        def mixed_step(state, tokens):
+            # per-row chain: batch row 0 is EOS-eager, rows 1-2 EOS-averse
+            # (state carries the batch tag through tile/gather)
+            sel = (state == 0)[:, None]
+            return jnp.where(sel, eager[tokens], averse[tokens]), state
+
+        cases = [make_markov_step(eager), make_markov_step(averse),
+                 mixed_step]
+        state = jnp.repeat(jnp.arange(3), 1).astype(jnp.float32)  # B=3 tags
+        for step in cases:
+            kw = dict(length_penalty=0.8, hf_compat=True, return_all=True)
+            fast = jax.jit(lambda s, f=step: beam_search(
+                f, s, 3, 4, BOS, EOS, PAD, 12, early_exit=True, **kw))(state)
+            slow = jax.jit(lambda s, f=step: beam_search(
+                f, s, 3, 4, BOS, EOS, PAD, 12, early_exit=False, **kw))(state)
+            np.testing.assert_array_equal(np.asarray(fast.tokens),
+                                          np.asarray(slow.tokens))
+            np.testing.assert_allclose(np.asarray(fast.scores),
+                                       np.asarray(slow.scores), rtol=1e-6)
+
+
+def test_greedy_early_exit_token_identical(rng):
+    """greedy_decode's while_loop early exit (all rows done) is
+    token-identical to the scan path on EOS-eager, EOS-averse, and
+    per-row-mixed chains."""
+    for seed in range(4):
+        rs = np.random.RandomState(seed)
+        averse = jnp.asarray(rs.randn(V, V).astype(np.float32) * 2.0)
+        eager = averse.at[:, EOS].add(6.0)
+
+        def mixed_step(state, tokens):
+            sel = (state == 0)[:, None]
+            return jnp.where(sel, eager[tokens], averse[tokens]), state
+
+        state = jnp.arange(3).astype(jnp.float32)
+        for step in [make_markov_step(eager), make_markov_step(averse),
+                     mixed_step]:
+            fast = jax.jit(lambda s, f=step: greedy_decode(
+                f, s, 3, BOS, 12, eos_token_id=EOS, pad_token_id=PAD,
+                min_length=2, early_exit=True))(state)
+            slow = jax.jit(lambda s, f=step: greedy_decode(
+                f, s, 3, BOS, 12, eos_token_id=EOS, pad_token_id=PAD,
+                min_length=2, early_exit=False))(state)
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
 def test_sample_decode_masks_after_eos(rng):
     # Transition matrix that always emits EOS from BOS with prob ~1.
     trans = np.full((V, V), -20.0, dtype=np.float32)
