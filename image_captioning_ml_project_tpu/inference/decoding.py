@@ -179,19 +179,22 @@ class SampleResult(NamedTuple):
 def sample_decode(step_fn, init_state, rng: jax.Array, batch_size: int,
                   bos_token_id: int, eos_token_id: int, pad_token_id: int,
                   max_length: int, temperature: float = 1.0,
-                  top_p: float = 1.0, min_length: int = 0) -> SampleResult:
+                  top_p: float = 1.0, min_length: int = 0,
+                  early_exit: bool = True) -> SampleResult:
     """Ancestral sampling with temperature and optional nucleus filtering.
     After EOS a sequence emits pads with zero logprob — the masked per-token
     logprobs feed SCST's REINFORCE estimator
-    (reference loop: src/train/trainer.py:413-438)."""
+    (reference loop: src/train/trainer.py:413-438). ``early_exit`` skips
+    the remaining steps once every row has sampled EOS (outputs are
+    identical: post-EOS positions are pad/0/False either way, and each
+    step consumes its own pre-split rng —
+    tests/test_decoding.py::test_sample_early_exit_identical)."""
     B = batch_size
     current = jnp.full((B,), bos_token_id, dtype=jnp.int32)
-    cur_logp = jnp.zeros((B,))        # BOS is given, no logprob
-    cur_active = jnp.zeros((B,), dtype=bool)
     done = jnp.zeros((B,), dtype=bool)
+    rngs = jax.random.split(rng, max_length)
 
-    def body(carry, rng_t):
-        state, current, cur_logp, cur_active, done, t = carry
+    def _step(state, current, done, t, rng_t):
         logits, state = step_fn(state, current)
         # f32 log-probs regardless of model dtype: the per-token logprobs
         # feed REINFORCE sums (and the f32 scan carry)
@@ -208,10 +211,42 @@ def sample_decode(step_fn, init_state, rng: jax.Array, batch_size: int,
         tok_logp = jnp.where(done, 0.0, tok_logp)
         active = ~done
         done = done | (sampled == eos_token_id)
+        return state, nxt, tok_logp, active, done
+
+    if early_exit:
+        tokens = jnp.full((B, max_length), pad_token_id, jnp.int32)
+        tokens = tokens.at[:, 0].set(bos_token_id)
+        logprobs = jnp.zeros((B, max_length))
+        mask = jnp.zeros((B, max_length), dtype=bool)
+
+        def cond_fn(c):
+            return (c[2] < max_length) & ~jnp.all(c[1])
+
+        def wbody(c):
+            state, done, t, tokens, logprobs, mask = c
+            current = jax.lax.dynamic_index_in_dim(
+                tokens, t - 1, axis=1, keepdims=False)
+            state, nxt, tok_logp, active, done = _step(
+                state, current, done, t, rngs[t - 1])
+            return (state, done, t + 1, tokens.at[:, t].set(nxt),
+                    logprobs.at[:, t].set(tok_logp),
+                    mask.at[:, t].set(active))
+
+        out = jax.lax.while_loop(
+            cond_fn, wbody,
+            (init_state, done, jnp.asarray(1), tokens, logprobs, mask))
+        return SampleResult(out[3], out[4], out[5])
+
+    cur_logp = jnp.zeros((B,))        # BOS is given, no logprob
+    cur_active = jnp.zeros((B,), dtype=bool)
+
+    def body(carry, rng_t):
+        state, current, cur_logp, cur_active, done, t = carry
+        state, nxt, tok_logp, active, done = _step(
+            state, current, done, t, rng_t)
         out = (current, cur_logp, cur_active)
         return (state, nxt, tok_logp, active, done, t + 1), out
 
-    rngs = jax.random.split(rng, max_length)
     _, (tokens, logprobs, mask) = jax.lax.scan(
         body, (init_state, current, cur_logp, cur_active, done, jnp.asarray(1)),
         rngs)

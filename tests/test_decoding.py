@@ -289,6 +289,33 @@ def test_greedy_early_exit_token_identical(rng):
             np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
 
 
+def test_sample_early_exit_identical(rng):
+    """sample_decode's early exit returns the exact tokens/logprobs/mask of
+    the scan path (each step consumes its own pre-split rng, so skipping
+    the dead tail cannot shift the sampled stream)."""
+    for seed in range(4):
+        rs = np.random.RandomState(seed)
+        averse = jnp.asarray(rs.randn(V, V).astype(np.float32) * 2.0)
+        eager = averse.at[:, EOS].add(5.0)
+        for trans in (eager, averse):
+            step = make_markov_step(trans)
+            state = jnp.zeros((3,))
+            key = jax.random.PRNGKey(seed)
+            kw = dict(temperature=0.9, top_p=0.8, min_length=2)
+            fast = jax.jit(lambda s, f=step: sample_decode(
+                f, s, jax.random.PRNGKey(seed), 3, BOS, EOS, PAD, 12,
+                early_exit=True, **kw))(state)
+            slow = jax.jit(lambda s, f=step: sample_decode(
+                f, s, jax.random.PRNGKey(seed), 3, BOS, EOS, PAD, 12,
+                early_exit=False, **kw))(state)
+            np.testing.assert_array_equal(np.asarray(fast.tokens),
+                                          np.asarray(slow.tokens))
+            np.testing.assert_allclose(np.asarray(fast.logprobs),
+                                       np.asarray(slow.logprobs), rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(fast.mask),
+                                          np.asarray(slow.mask))
+
+
 def test_sample_decode_masks_after_eos(rng):
     # Transition matrix that always emits EOS from BOS with prob ~1.
     trans = np.full((V, V), -20.0, dtype=np.float32)
