@@ -179,6 +179,11 @@ class TrainingConfig:
 
     use_curriculum: bool = False
     curriculum_strategy: str = "caption_length"
+    # TPU rebuild: the reference defines PacingFunction linear/root/
+    # exponential/step (src/train/curriculum.py:199-267) but never wires it —
+    # its sampler hard-codes linear progress (:155-159). We expose the knob;
+    # "linear" reproduces the reference's effective behavior exactly.
+    curriculum_pacing: str = "linear"  # linear | root | exponential | step
 
     use_contrastive_loss: bool = False
     use_itm_loss: bool = False

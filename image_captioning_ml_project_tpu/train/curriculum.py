@@ -32,11 +32,17 @@ class CurriculumSampler:
         shuffle_within_bins: bool = True,
         num_bins: int = 10,
         seed: int = 0,
+        pacing: str = "linear",
     ):
         self.dataset = dataset
         self.strategy = strategy
         self.num_epochs = num_epochs
         self.warmup_epochs = warmup_epochs
+        if not hasattr(PacingFunction, pacing):
+            logging.getLogger(__name__).warning(
+                "Unknown pacing '%s', falling back to linear", pacing)
+            pacing = "linear"
+        self.pacing = pacing
         self.shuffle_within_bins = shuffle_within_bins
         self.num_bins = num_bins
         self.current_epoch = 0
@@ -75,7 +81,11 @@ class CurriculumSampler:
         self.current_epoch = epoch
 
     def _num_included(self) -> int:
-        progress = (self.current_epoch + 1) / self.warmup_epochs
+        # The reference hard-codes linear progress here (curriculum.py:155-159)
+        # and leaves PacingFunction unwired; we wire it, defaulting to linear
+        # which is value-identical to the reference's expression.
+        progress = getattr(PacingFunction, self.pacing)(
+            self.current_epoch, self.warmup_epochs)
         return max(int(progress * len(self.dataset)), len(self.dataset) // 10)
 
     def __iter__(self):
@@ -144,4 +154,5 @@ def create_curriculum_sampler(dataset, config: Any,
         shuffle_within_bins=True,
         num_bins=10,
         seed=config.seed,
+        pacing=getattr(config.training, "curriculum_pacing", "linear"),
     )

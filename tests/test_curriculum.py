@@ -86,6 +86,39 @@ def test_pacing_functions():
     assert PacingFunction.step(9, 10, 3) == pytest.approx(1.0)
 
 
+def test_pacing_wired_into_subset_size():
+    # root pacing grows the included subset faster than linear early on;
+    # exponential grows it slower. linear matches the legacy hard-coded math.
+    linear, _ = make_sampler(n=100, warmup=4, shuffle_within_bins=False)
+    root, _ = make_sampler(n=100, warmup=4, shuffle_within_bins=False,
+                           pacing="root")
+    expo, _ = make_sampler(n=100, warmup=4, shuffle_within_bins=False,
+                           pacing="exponential")
+    for s in (linear, root, expo):
+        s.set_epoch(0)
+    assert len(linear) == 25  # (0+1)/4 * 100 — reference's expression
+    assert len(root) == int(np.sqrt(0.25) * 100)
+    assert len(expo) == max(int(0.25 ** 2 * 100), 10)
+    assert len(expo) < len(linear) < len(root)
+    # all pacings still include the easiest samples first
+    assert list(root)[:10] == list(linear)[:10]
+
+
+def test_pacing_unknown_falls_back_to_linear():
+    s, _ = make_sampler(pacing="no_such_pacing")
+    assert s.pacing == "linear"
+
+
+def test_factory_threads_pacing():
+    from image_captioning_ml_project_tpu.config import get_default_config
+
+    cfg = get_default_config()
+    cfg.training.use_curriculum = True
+    cfg.training.curriculum_pacing = "root"
+    s = create_curriculum_sampler(FakeDataset(np.arange(10)), cfg)
+    assert s.pacing == "root"
+
+
 def test_factory_gating():
     from image_captioning_ml_project_tpu.config import get_default_config
 
