@@ -172,6 +172,138 @@ def test_evaluate_model_on_coco(tmp_path):
     assert m2["Bleu_1"] > 0.95
 
 
+# ---------------------------------------------------------------------------
+# Independent CIDEr-D oracle (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+# Written from Vedantam et al., "CIDEr: Consensus-based Image Description
+# Evaluation" (CVPR 2015) — eq. (1)-(3) plus the CIDEr-D modifications
+# (count clipping and the gaussian length penalty, sigma=6, x10 scaling)
+# as published in the pycocoevalcap scorer that produced the reference's
+# numbers. Deliberately NOT derived from evaluate/metrics.py: it builds
+# explicit dense tf-idf vectors over an n-gram index and computes cosines
+# with numpy, so a systematic defect in the package's dict-walk
+# implementation (wrong IDF base, wrong sigma, missing clipping, wrong
+# normalization order) would show up as a fuzz divergence.
+
+
+def _oracle_cider_d(hyps, refs_corpus, df_corpus=None, max_n=4, sigma=6.0):
+    """Returns (corpus_score, per_sample). ``df_corpus`` defaults to
+    ``refs_corpus`` (standard eval); pass a larger corpus to mirror the
+    SCST precomputed-df path."""
+    if df_corpus is None:
+        df_corpus = refs_corpus
+    n_docs = len(df_corpus)
+
+    def grams(toks, n):
+        return [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    # n-gram -> dense column index, one table per order
+    vocab = [dict() for _ in range(max_n)]
+    for sentences in ([r for refs in df_corpus for r in refs]
+                      + [r for refs in refs_corpus for r in refs] + hyps):
+        for n in range(max_n):
+            for g in grams(sentences, n + 1):
+                vocab[n].setdefault(g, len(vocab[n]))
+
+    # document frequency: one count per *image* whose reference set
+    # mentions the n-gram (paper §3: "the number of images for which
+    # the n-gram occurs in any of its reference sentences")
+    df = [np.zeros(len(v)) for v in vocab]
+    for refs in df_corpus:
+        for n in range(max_n):
+            seen = set()
+            for ref in refs:
+                seen.update(grams(ref, n + 1))
+            for g in seen:
+                df[n][vocab[n][g]] += 1.0
+    idf = [np.log(max(n_docs, 1)) - np.log(np.maximum(d, 1.0)) for d in df]
+
+    def tfidf(toks):
+        out = []
+        for n in range(max_n):
+            v = np.zeros(len(vocab[n]))
+            for g in grams(toks, n + 1):
+                v[vocab[n][g]] += 1.0
+            out.append(v * idf[n])
+        return out
+
+    per_sample = np.zeros(len(hyps))
+    for i, (hyp, refs) in enumerate(zip(hyps, refs_corpus)):
+        hv = tfidf(hyp)
+        acc = 0.0
+        for ref in refs:
+            rv = tfidf(ref)
+            gauss = math.exp(-((len(hyp) - len(ref)) ** 2)
+                             / (2.0 * sigma * sigma))
+            for n in range(max_n):
+                num = float(np.minimum(hv[n], rv[n]) @ rv[n])  # CIDEr-D clip
+                den = float(np.linalg.norm(hv[n]) * np.linalg.norm(rv[n]))
+                acc += (num / den if den > 0.0 else 0.0) * gauss / max_n
+        per_sample[i] = 10.0 * acc / max(len(refs), 1)
+    return float(per_sample.mean()), per_sample
+
+
+def _random_cider_corpus(r, words, n_img):
+    """Candidates mix exact refs, perturbed refs, and unrelated strings."""
+    hyps, refs = [], []
+    for _ in range(n_img):
+        rs = [[r.choice(words) for _ in range(r.randint(1, 15))]
+              for _ in range(r.randint(1, 5))]
+        mode = r.random()
+        if mode < 0.3:
+            cand = list(r.choice(rs))
+        elif mode < 0.7:
+            cand = list(r.choice(rs))
+            cand[r.randrange(len(cand))] = r.choice(words)
+            if r.random() < 0.5:
+                cand.append(r.choice(words))
+        else:
+            cand = [r.choice(words) for _ in range(r.randint(1, 15))]
+        hyps.append(cand)
+        refs.append(rs)
+    return hyps, refs
+
+
+def test_fuzz_cider_d_matches_paper_oracle():
+    """Host cider_d vs the independent from-the-paper oracle over random
+    corpora sweeping vocab size, caption length, ref count, and image
+    count (per-sample arrays compared, not just the corpus mean)."""
+    import random
+
+    r = random.Random(20260819)
+    for trial in range(12):
+        vocab_size = r.choice([3, 8, 20, 60])
+        words = [f"v{i}" for i in range(vocab_size)]
+        hyps, refs = _random_cider_corpus(r, words, r.randint(2, 25))
+        got_mean, got_ps = cider_d(hyps, refs)
+        want_mean, want_ps = _oracle_cider_d(hyps, refs)
+        np.testing.assert_allclose(got_ps, want_ps, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"trial {trial} (V={vocab_size})")
+        np.testing.assert_allclose(got_mean, want_mean, rtol=1e-8)
+
+
+def test_fuzz_cider_d_precomputed_df_matches_oracle():
+    """The SCST reward path precomputes df over a larger (train) corpus
+    and passes it into cider_d; the oracle recomputes from that corpus."""
+    import random
+
+    from image_captioning_ml_project_tpu.evaluate.metrics import (
+        cider_document_frequency)
+
+    r = random.Random(77)
+    words = [f"w{i}" for i in range(30)]
+    for trial in range(6):
+        _, df_refs = _random_cider_corpus(r, words, r.randint(10, 40))
+        hyps, refs = _random_cider_corpus(r, words, r.randint(2, 10))
+        df = cider_document_frequency(df_refs)
+        got_mean, got_ps = cider_d(hyps, refs, df=df,
+                                   log_num_images=math.log(len(df_refs)))
+        want_mean, want_ps = _oracle_cider_d(hyps, refs, df_corpus=df_refs)
+        np.testing.assert_allclose(got_ps, want_ps, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(got_mean, want_mean, rtol=1e-8)
+
+
 def test_fuzz_corpus_bleu_matches_nltk():
     """Independent oracle: our corpus BLEU-1..4 vs nltk's corpus_bleu on
     random corpora (candidates built by perturbing references so all
