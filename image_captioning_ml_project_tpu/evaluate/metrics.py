@@ -13,9 +13,11 @@ self-contained implementations:
 * **ROUGE-L** — LCS F-measure with beta=1.2, max over refs, mean over images.
 * **CIDEr-D** — tf-idf n-gram cosine (n=1..4) with count clipping, length
   gaussian (sigma=6), df from the evaluation corpus, x10 scaling.
-* **METEOR-lite** — exact-match harmonic mean (alpha=0.9) with chunk
-  fragmentation penalty; a documented approximation of Java METEOR (no
-  WordNet synonymy in this environment).
+* **METEOR-lite** — exact + Porter-stem match stages with METEOR's
+  proper alignment (maximum matching, fewest-chunks tie-break) and the
+  paper's harmonic mean (alpha=0.9) + fragmentation penalty; documented
+  delta vs Java METEOR: no WordNet synonym/paraphrase modules (offline
+  environment).
 
 Every scorer also returns **per-sample** scores; SCST consumes per-sample
 CIDEr (fixing the reference defect where corpus-level scalars were broadcast
@@ -217,34 +219,126 @@ def cider_d(generated: List[List[str]], references: List[List[List[str]]],
 # ---------------------------------------------------------------------------
 
 
+_PORTER = None
+
+
+def _stem(word: str) -> str:
+    """Porter stem via nltk (pure Python, no data files needed)."""
+    global _PORTER
+    if _PORTER is None:
+        from nltk.stem.porter import PorterStemmer
+
+        _PORTER = PorterStemmer()
+    return _PORTER.stem(word)
+
+
+def _meteor_align(cand: Sequence[str], ref: Sequence[str],
+                  node_budget: int = 200_000
+                  ) -> Tuple[int, int]:
+    """METEOR word alignment: returns ``(num_matches, num_chunks)``.
+
+    Match modules: exact + Porter stem (WordNet synonymy is offline-
+    unavailable — documented delta vs Java METEOR). Objective follows the
+    METEOR aligner spec: maximize the number of matched words; among
+    maximum matchings, minimize the number of chunks (maximal runs of
+    contiguous-and-ordered pairs); break remaining ties toward more
+    exact-module matches. Exhaustive DFS with pruning — captions are
+    short (<=50 tokens); a node budget guards pathological duplication,
+    falling back to the best alignment found so far.
+    """
+    if not cand or not ref:
+        return 0, 0
+    cstems = [_stem(w) for w in cand]
+    rstems = [_stem(w) for w in ref]
+    # compatible ref positions per candidate position: (ref_idx, is_exact)
+    comp: List[List[Tuple[int, bool]]] = []
+    for i, w in enumerate(cand):
+        row = [(j, True) for j, rw in enumerate(ref) if w == rw]
+        row += [(j, False) for j, rw in enumerate(ref)
+                if w != rw and cstems[i] == rstems[j]]
+        comp.append(row)
+
+    # maximum matching size via augmenting paths (small bipartite graph)
+    match_r = [-1] * len(ref)
+
+    def augment(i: int, seen: set) -> bool:
+        for j, _ in comp[i]:
+            if j in seen:
+                continue
+            seen.add(j)
+            if match_r[j] == -1 or augment(match_r[j], seen):
+                match_r[j] = i
+                return True
+        return False
+
+    max_matches = sum(augment(i, set()) for i in range(len(cand)))
+    if max_matches == 0:
+        return 0, 0
+
+    # how many candidate positions >= i still have any compatible ref
+    # (loose upper bound on future matches, used to prune skips)
+    can_match_suffix = [0] * (len(cand) + 1)
+    for i in range(len(cand) - 1, -1, -1):
+        can_match_suffix[i] = can_match_suffix[i + 1] + (1 if comp[i] else 0)
+
+    best = [max_matches, len(cand) + 1, -1]  # matches, chunks, exact
+    nodes = [0]
+
+    def dfs(ci: int, used: int, matched: int, chunks: int, exact: int,
+            last_ci: int, last_ri: int):
+        if nodes[0] > node_budget:
+            return
+        nodes[0] += 1
+        if chunks > best[1]:
+            return  # chunks only grow
+        if matched + can_match_suffix[ci] < max_matches:
+            return  # cannot reach a maximum matching anymore
+        if ci == len(cand):
+            if matched == max_matches and (
+                    chunks < best[1]
+                    or (chunks == best[1] and exact > best[2])):
+                best[1], best[2] = chunks, exact
+            return
+        # try continuing the current chunk first (finds low-chunk
+        # alignments early, which tightens the prune)
+        options = sorted(
+            comp[ci],
+            key=lambda jr: (not (ci == last_ci + 1 and jr[0] == last_ri + 1),
+                            not jr[1]))
+        for j, is_exact in options:
+            if used >> j & 1:
+                continue
+            new_chunk = 0 if (ci == last_ci + 1 and j == last_ri + 1) else 1
+            dfs(ci + 1, used | (1 << j), matched + 1, chunks + new_chunk,
+                exact + (1 if is_exact else 0), ci, j)
+        # or leave this candidate word unmatched
+        dfs(ci + 1, used, matched, chunks, exact, last_ci, last_ri)
+
+    dfs(0, 0, 0, 0, 0, -2, -2)
+    return max_matches, best[1]
+
+
 def meteor_lite(generated: List[List[str]], references: List[List[List[str]]],
                 alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5
                 ) -> Tuple[float, np.ndarray]:
-    """Exact-match METEOR approximation with chunk penalty (no
-    stem/synonym stages — Java METEOR not available in this environment)."""
+    """METEOR with exact + Porter-stem match stages and the proper
+    fewest-chunks alignment (see :func:`_meteor_align`), harmonic-mean
+    parameters from the METEOR paper (alpha=0.9, beta=3, gamma=0.5).
+
+    Remaining documented delta vs the Java METEOR behind the reference's
+    published numbers (pycocoevalcap at src/evaluate/metrics.py:95): no
+    WordNet synonym/paraphrase modules (offline environment) and no
+    language-tuned parameter set."""
     per_sample = np.zeros(len(generated))
     for i, (cand, refs) in enumerate(zip(generated, references)):
         best = 0.0
         for ref in refs:
-            # greedy positional alignment of exact matches
-            used = [False] * len(ref)
-            align = []
-            for ci, w in enumerate(cand):
-                for ri, rw in enumerate(ref):
-                    if not used[ri] and rw == w:
-                        used[ri] = True
-                        align.append((ci, ri))
-                        break
-            m = len(align)
+            m, chunks = _meteor_align(cand, ref)
             if m == 0:
                 continue
             prec = m / len(cand)
             rec = m / len(ref)
             fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
-            chunks = 1
-            for (c0, r0), (c1, r1) in zip(align, align[1:]):
-                if c1 != c0 + 1 or r1 != r0 + 1:
-                    chunks += 1
             penalty = gamma * (chunks / m) ** beta
             best = max(best, fmean * (1 - penalty))
         per_sample[i] = best

@@ -107,6 +107,44 @@ def test_meteor_identical_near_one():
     assert score == pytest.approx(1 - 0.5 * (1 / 5) ** 3, rel=1e-6)
 
 
+def test_meteor_stem_stage_hand_computed():
+    # "the cat is running" vs "the cats run": exact {the}, stem
+    # {cat~cats, running~run} -> m=3 of cand-len 4, ref-len 3.
+    # Alignment pairs (ci,ri): (0,0),(1,1),(3,2) -> (0,0)->(1,1) is
+    # contiguous (one chunk), (1,1)->(3,2) breaks -> 2 chunks.
+    gen = [["the", "cat", "is", "running"]]
+    refs = [[["the", "cats", "run"]]]
+    score, _ = meteor_lite(gen, refs)
+    prec, rec = 3 / 4, 3 / 3
+    fmean = prec * rec / (0.9 * prec + 0.1 * rec)
+    want = fmean * (1 - 0.5 * (2 / 3) ** 3)
+    assert score == pytest.approx(want, rel=1e-6)
+
+
+def test_meteor_fewest_chunks_alignment():
+    # cand "a a b" vs ref "a b a": b must map to r1; the two a's map to
+    # {r0, r2}. First-found greedy picks a0->r0, a1->r2 giving pairs
+    # (0,0),(1,2),(2,1) = 3 chunks. The optimal assignment a0->r2,
+    # a1->r0 gives (0,2),(1,0),(2,1) where (1,0)->(2,1) is contiguous =
+    # 2 chunks. m=3, P=R=1, fmean=1.
+    gen = [["a", "a", "b"]]
+    refs = [[["a", "b", "a"]]]
+    score, _ = meteor_lite(gen, refs)
+    assert score == pytest.approx(1 - 0.5 * (2 / 3) ** 3, rel=1e-6)
+
+
+def test_meteor_align_prefers_exact_on_chunk_ties():
+    from image_captioning_ml_project_tpu.evaluate.metrics import _meteor_align
+
+    # both words of the candidate match somewhere; maximum matching is 2
+    # and the minimum chunk count is 2 either way; exact pairs must win
+    m, chunks = _meteor_align(["cat", "dog"], ["dog", "cat"])
+    assert (m, chunks) == (2, 2)
+    # unmatched-only words contribute nothing
+    m, chunks = _meteor_align(["x", "y"], ["p", "q"])
+    assert (m, chunks) == (0, 0)
+
+
 def test_calculate_metrics_native_keys():
     out = calculate_metrics_native(
         ["a man riding a horse"], [["a man riding a horse", "a person rides"]])
