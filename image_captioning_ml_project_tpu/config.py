@@ -276,6 +276,14 @@ class Config:
     checkpoint_dir: str = "checkpoints"
     log_every: int = 100
     save_every: int = 1
+    # Mid-epoch (step-granular) checkpoints every N train batches under the
+    # rolling name ``checkpoint_step`` (0 = off). Metadata records (epoch,
+    # batch_index, phase) so ``load_checkpoint`` resumes *inside* the epoch
+    # with the identical remaining batch sequence — the reference's legacy
+    # stack saves every 1000 batches (reference: train.py:117-140) but its
+    # modern trainer loses up to a full epoch on preemption
+    # (src/train/trainer.py:569-598); async Orbax makes step saves cheap.
+    save_every_steps: int = 0
 
     device: str = "tpu"
     num_workers: int = 4

@@ -566,7 +566,8 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
                     sampler: Optional[Iterator[int]] = None,
                     seed: int = 0,
                     pad_last: bool = False,
-                    num_workers: int = 0) -> Iterator[Dict[str, Any]]:
+                    num_workers: int = 0,
+                    skip_batches: int = 0) -> Iterator[Dict[str, Any]]:
     """Yield fixed-shape batches. ``sampler`` (e.g. the curriculum sampler)
     overrides shuffling (reference: src/data/dataset.py:445-462).
 
@@ -582,7 +583,11 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
     dataset's augmentation RNG per sample from ``(seed, index)``, torch
     DataLoader style: results are deterministic for a given ``seed`` and
     independent of the worker count (callers already mix the epoch into
-    ``seed``, so augmentations still vary across epochs)."""
+    ``seed``, so augmentations still vary across epochs).
+
+    ``skip_batches`` skips the first k chunks of the (identically seeded)
+    index order without loading them — mid-epoch checkpoint resume replays
+    the exact remaining batch sequence at zero decode cost."""
     if sampler is not None:
         indices = list(sampler)
     else:
@@ -604,7 +609,8 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
             max_workers=num_workers, mp_context=mp.get_context("fork"),
             initializer=_set_ds, initargs=(dataset,))
     try:
-        for start in range(0, len(indices), batch_size):
+        for start in range(skip_batches * batch_size, len(indices),
+                           batch_size):
             chunk = indices[start:start + batch_size]
             valid = len(chunk)
             if valid < batch_size:

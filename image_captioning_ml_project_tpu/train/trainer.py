@@ -115,6 +115,11 @@ class CaptioningTrainer:
         self.ckpt = CheckpointManager(config.checkpoint_dir, async_save=True)
         self.best_val_score = 0.0
         self.start_epoch = 0
+        # mid-epoch resume position (set by load_checkpoint on a
+        # ``checkpoint_step`` restore): first resumed epoch continues at
+        # this batch index within this phase ("ce" | "scst")
+        self.start_batch = 0
+        self.start_phase = "ce"
 
         # Object-region (BUTD) mode: the model consumes pre-extracted
         # detector features instead of images (reference encoder:
@@ -489,7 +494,11 @@ class CaptioningTrainer:
                 self.curriculum_sampler.set_epoch(epoch)
                 self.logger.info("Curriculum: %d samples",
                                  len(self.curriculum_sampler))
-            train_loss = self._train_epoch(epoch, rng)
+            resumed = epoch == self.start_epoch
+            train_loss = self._train_epoch(
+                epoch, rng,
+                start_batch=self.start_batch if resumed else 0,
+                start_phase=self.start_phase if resumed else "ce")
             val_loss, val_metrics = self._validate_epoch(epoch)
             self.logger.info(
                 "Epoch %d: Train Loss: %.4f, Val Loss: %.4f, Val CIDEr: %.4f",
@@ -503,7 +512,8 @@ class CaptioningTrainer:
                 self.save_checkpoint(epoch, is_best=is_best)
         self.ckpt.wait_until_finished()
 
-    def _train_batches(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+    def _train_batches(self, epoch: int = 0,
+                       skip_batches: int = 0) -> Iterator[Dict[str, Any]]:
         it = iterate_batches(
             self.train_dataset, self.config.training.batch_size,
             shuffle=self.curriculum_sampler is None,
@@ -512,14 +522,46 @@ class CaptioningTrainer:
             # fresh shuffle every epoch (torch DataLoader(shuffle=True)
             # semantics); the curriculum sampler handles its own epoching
             seed=self.config.seed + epoch,
-            num_workers=self.config.num_workers)
+            num_workers=self.config.num_workers,
+            skip_batches=skip_batches)
         return prefetch(it, mesh=self.mesh,
                         data_axis=self.config.mesh.data_axis)
 
-    def _train_epoch(self, epoch: int, rng) -> float:
+    def save_step_checkpoint(self, epoch: int, batch_index: int, phase: str):
+        """Rolling mid-epoch checkpoint (``config.save_every_steps``).
+
+        ``batch_index`` is the number of batches *completed* this epoch in
+        ``phase``; resume re-creates the identically-seeded epoch iterator
+        and skips exactly that many chunks. One rolling name keeps disk
+        bounded; the wait drains the previous in-flight save so Orbax never
+        overwrites a path mid-commit (N steps apart, it is long done)."""
+        self.ckpt.wait_until_finished()
+        state_tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        self.ckpt.save(
+            "checkpoint_step", state_tree,
+            metadata={"epoch": epoch, "batch_index": batch_index,
+                      "phase": phase,
+                      "best_val_score": self.best_val_score},
+            config=self.config)
+
+    def _train_epoch(self, epoch: int, rng, start_batch: int = 0,
+                     start_phase: str = "ce") -> float:
         import time
 
         tc = self.config.training
+        if start_phase == "scst":
+            # resumed inside the RL phase: the CE pass of this epoch already
+            # ran before preemption
+            if tc.use_rl and epoch >= tc.rl_start_epoch:
+                self._train_reinforcement_learning(epoch, rng,
+                                                   start_batch=start_batch)
+            return 0.0
+        save_steps = getattr(self.config, "save_every_steps", 0)
         meter = MetricLogger()
         num_batches = 0
         # curriculum pacing shrinks early epochs: log the real denominator
@@ -537,12 +579,15 @@ class CaptioningTrainer:
         # step i+1 on step i finishing, serializing device with host prep.
         pending_losses = []
         t0, n_since = None, 0
-        for i, batch in enumerate(self._train_batches(epoch)):
+        for i, batch in enumerate(self._train_batches(epoch, start_batch),
+                                  start=start_batch):
             self.state, metrics = self._train_step(
                 self.state, self._batch_inputs(batch),
                 batch["caption_tokens"], batch["attention_mask"], rng)
             num_batches += 1
             n_since += 1
+            if save_steps and (i + 1) % save_steps == 0:
+                self.save_step_checkpoint(epoch, i + 1, "ce")
             if t0 is None:
                 # warmup boundary: force the first step (absorbs compile)
                 np.asarray(
@@ -598,11 +643,12 @@ class CaptioningTrainer:
                 ids[: int(mask.sum())].tolist())
         return refs
 
-    def _train_reinforcement_learning(self, epoch: int, rng):
+    def _train_reinforcement_learning(self, epoch: int, rng,
+                                      start_batch: int = 0):
         tc = self.config.training
         if tc.rl_reward.lower() == "cider" and tc.rl_on_device_reward:
-            return self._train_scst_on_device(epoch, rng)
-        return self._train_scst_host_reward(epoch, rng)
+            return self._train_scst_on_device(epoch, rng, start_batch)
+        return self._train_scst_host_reward(epoch, rng, start_batch)
 
     def _decode_ctx(self):
         """Announce the trainer's mesh to the fused decode kernel so decodes
@@ -614,7 +660,7 @@ class CaptioningTrainer:
 
         return decode_mesh(self.mesh, self.config.mesh.data_axis)
 
-    def _train_scst_on_device(self, epoch: int, rng):
+    def _train_scst_on_device(self, epoch: int, rng, start_batch: int = 0):
         """Fused SCST epoch: rollouts + CIDEr rewards + update in one jit."""
         from ..evaluate.cider_device import build_df_table, encode_references
 
@@ -633,7 +679,14 @@ class CaptioningTrainer:
         # match the dataset's reference budget (eval batches carry the
         # same count), not a literal 5
         max_refs = getattr(self.train_dataset, "max_ref_captions", 5)
-        for i, batch in enumerate(self._train_batches(epoch)):
+        save_steps = getattr(self.config, "save_every_steps", 0)
+        # resume replay: per-batch keys come from sequential splits of the
+        # epoch key, so splitting start_batch times reproduces the exact
+        # key sequence the interrupted run would have used
+        for _ in range(start_batch):
+            rng, _ = jax.random.split(rng)
+        for i, batch in enumerate(self._train_batches(epoch, start_batch),
+                                  start=start_batch):
             rng, step_rng = jax.random.split(rng)
             refs = [refs_by_id.get(int(iid), [[mc.eos_token_id]])
                     for iid in np.asarray(batch["image_id"])]
@@ -644,16 +697,22 @@ class CaptioningTrainer:
                     jnp.asarray(ref_tokens), jnp.asarray(ref_valid),
                     self._cider_df, step_rng, max_length)
             meter.update(**{k: float(v) for k, v in metrics.items()})
+            if save_steps and (i + 1) % save_steps == 0:
+                self.save_step_checkpoint(epoch, i + 1, "scst")
             if (i + 1) % self.config.log_every == 0:
                 self.logger.info("SCST batch %d: %s", i + 1, meter)
         return None
 
-    def _train_scst_host_reward(self, epoch: int, rng):
+    def _train_scst_host_reward(self, epoch: int, rng, start_batch: int = 0):
         self.logger.info("Running SCST for epoch %d", epoch + 1)
         max_length = self.config.inference.max_length
         refs_by_id = self._references_by_image_id()
         meter = MetricLogger()
-        for i, batch in enumerate(self._train_batches(epoch)):
+        save_steps = getattr(self.config, "save_every_steps", 0)
+        for _ in range(start_batch):  # key-sequence replay (see on-device)
+            rng, _ = jax.random.split(rng)
+        for i, batch in enumerate(self._train_batches(epoch, start_batch),
+                                  start=start_batch):
             rng, roll_rng = jax.random.split(rng)
             with self._decode_ctx():
                 sampled, sample_mask, greedy = self._rollout_step(
@@ -673,6 +732,8 @@ class CaptioningTrainer:
                 advantages)
             meter.update(rl_loss=float(metrics["rl_loss"]),
                          reward=float(sample_r.mean()))
+            if save_steps and (i + 1) % save_steps == 0:
+                self.save_step_checkpoint(epoch, i + 1, "scst")
             if (i + 1) % self.config.log_every == 0:
                 self.logger.info("SCST batch %d: %s", i + 1, meter)
 
@@ -791,6 +852,19 @@ class CaptioningTrainer:
             opt_state=restored["opt_state"],
             step=restored["step"])
         self.best_val_score = meta.get("best_val_score", 0.0)
+        if "batch_index" in meta:
+            # mid-epoch (step) checkpoint: resume INSIDE meta["epoch"] at
+            # the recorded batch index / phase
+            self.start_epoch = meta.get("epoch", 0)
+            self.start_batch = int(meta["batch_index"])
+            self.start_phase = meta.get("phase", "ce")
+            self.logger.info(
+                "Loaded step checkpoint '%s' (epoch %d, %s batch %d, "
+                "best %.4f)", name, self.start_epoch + 1, self.start_phase,
+                self.start_batch, self.best_val_score)
+            return
         self.start_epoch = meta.get("epoch", -1) + 1
+        self.start_batch = 0
+        self.start_phase = "ce"
         self.logger.info("Loaded checkpoint '%s' (epoch %d, best %.4f)",
                          name, self.start_epoch, self.best_val_score)

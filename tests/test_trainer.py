@@ -450,3 +450,64 @@ def test_async_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(best["b"]), np.ones(3))
     assert ckpt.exists("checkpoint_epoch_1") and ckpt.exists("best_model")
     ckpt.wait_until_finished()
+
+
+def _all_params_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_step_checkpoint_midepoch_resume_ce(setup, tmp_path):
+    """Kill-at-step-k resume (config.save_every_steps): a fresh trainer
+    restored from the rolling ``checkpoint_step`` continues the epoch with
+    the identical remaining batch sequence and finishes **bit-identical**
+    to the uninterrupted run (deterministic data order + step-keyed
+    dropout RNG). The reference's modern trainer loses the whole epoch on
+    preemption (src/train/trainer.py:569-598)."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg2.save_every_steps = 2  # 24 rows / batch 8 = 3 batches -> save @2
+    a = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    a.train()  # writes checkpoint_step at CE batch 2, then finishes
+    a.ckpt.wait_until_finished()
+    assert a.ckpt.exists("checkpoint_step")
+
+    b = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    b.load_checkpoint("checkpoint_step")
+    assert (b.start_epoch, b.start_batch, b.start_phase) == (0, 2, "ce")
+    assert int(b.state.step) == 2
+    b.train()  # resumes at batch 3 of epoch 1 and completes
+    assert int(b.state.step) == int(a.state.step)
+    _all_params_equal(a.state.params, b.state.params)
+    _all_params_equal(a.state.opt_state, b.state.opt_state)
+
+
+def test_step_checkpoint_midepoch_resume_scst(setup, tmp_path):
+    """Same contract inside the SCST phase: the step checkpoint records
+    phase="scst"; resume skips the already-done CE pass, replays the
+    epoch key splits, and ends bit-identical to the uninterrupted run."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg2.save_every_steps = 2
+    cfg2.training.use_rl = True
+    cfg2.training.rl_start_epoch = 0
+    cfg2.training.rl_on_device_reward = True
+    a = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    a.train()  # rolling save last written at SCST batch 2
+    a.ckpt.wait_until_finished()
+
+    b = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    b.load_checkpoint("checkpoint_step")
+    assert (b.start_epoch, b.start_batch, b.start_phase) == (0, 2, "scst")
+    b.train()  # skips CE, resumes SCST at batch 3
+    assert int(b.state.step) == int(a.state.step)
+    _all_params_equal(a.state.params, b.state.params)
