@@ -174,21 +174,29 @@ def setup_tokenizer(config: Config, vocab_path: Optional[str] = None,
     return tokenizer
 
 
-def train(config: Config, checkpoint_path=None, tokenizer=None):
+def train(config: Config, checkpoint_path=None, tokenizer=None,
+          reranker=None):
     """reference: src/main.py:133-199."""
     logger = logging.getLogger(__name__)
     logger.info("Starting training...")
     tokenizer = tokenizer or setup_tokenizer(config)
     from .config import EncoderType
 
-    if (config.model.encoder.encoder_type == EncoderType.OBJECT_REGION
-            or config.model.encoder.use_object_features):
+    object_mode = (
+        config.model.encoder.encoder_type == EncoderType.OBJECT_REGION
+        or config.model.encoder.use_object_features)
+    if object_mode:
         train_ds, val_ds = build_object_datasets(config, tokenizer)
     else:
         train_ds, val_ds = build_coco_datasets(config, tokenizer)
     sampler = create_curriculum_sampler(train_ds, config)
+    # with use_clip_reranking, validation decodes rerank too, so the
+    # best-CIDEr checkpoint is selected by the decode that ships
+    if not object_mode:
+        reranker = _resolve_reranker(config, tokenizer, reranker)
     trainer = CaptioningTrainer(config, train_ds, val_ds, tokenizer,
-                                curriculum_sampler=sampler)
+                                curriculum_sampler=sampler,
+                                reranker=reranker)
     if checkpoint_path:
         trainer.load_checkpoint(checkpoint_path)
     trainer.train()

@@ -64,8 +64,17 @@ class CaptioningTrainer:
         mesh=None,
         curriculum_sampler=None,
         model: Optional[ImageCaptioningModel] = None,
+        reranker=None,
     ):
         self.config = config
+        # Optional CLIP reranker for validation decodes: when set (and the
+        # pipeline carries raw images), `_validate_epoch` generates
+        # inference.num_candidates beam candidates and lets CLIP pick —
+        # best-CIDEr checkpoint selection then runs the SAME decode as the
+        # final eval CLI (main._make_decode_batch rerank branch), keeping
+        # the trainer's model-selection metric aligned with what ships
+        # (reference rerank surface: src/config.py:107-109).
+        self.reranker = reranker
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
         self.tokenizer = tokenizer
@@ -341,6 +350,37 @@ class CaptioningTrainer:
                           rng=rng, max_length=max_length)
 
         self._val_decode_step = jax.jit(val_decode_step)
+
+        def val_candidates_step(state: TrainState, images, rng):
+            """[B, num_candidates, L] beam candidates for CLIP-reranked
+            validation — the same candidate generator as the eval CLI's
+            rerank branch (main._make_decode_batch)."""
+            from ..inference.decoding import beam_search
+
+            images = self._prepare_inputs(images)
+            variables = self._model_vars(state)
+            B = jax.tree_util.tree_leaves(images)[0].shape[0]
+            mc, ic = self.config.model, self.config.inference
+            max_length = ic.max_length
+            cache = self.model.apply(variables, images, max_length,
+                                     method=self.model.init_cache)
+
+            def step_fn(s, toks):
+                return self.model.apply(variables, s, toks,
+                                        method=self.model.step)
+
+            res = beam_search(step_fn, cache, B,
+                              max(ic.beam_size, ic.num_candidates),
+                              mc.bos_token_id, mc.eos_token_id,
+                              mc.pad_token_id, max_length,
+                              length_penalty=ic.length_penalty,
+                              min_length=ic.min_length,
+                              num_beam_groups=ic.num_beam_groups,
+                              diversity_penalty=ic.diversity_penalty,
+                              return_all=True)
+            return res.tokens[:, : ic.num_candidates]
+
+        self._val_candidates_step = jax.jit(val_candidates_step)
 
         def rollout_step(state: TrainState, images, rng, max_length):
             """SCST rollouts: one sampled + one greedy decode, shared
@@ -794,6 +834,9 @@ class CaptioningTrainer:
                              num_workers=self.config.num_workers)
         # one bf16 weight pre-cast for the whole epoch (bit-identical)
         estate = self.eval_state()
+        # rerank needs raw pixels for CLIP; the object-region pipeline
+        # carries detector features only (same guard as main.evaluate)
+        reranker = self.reranker if not self._object_mode else None
         for batch in prefetch(it, mesh=self.mesh,
                               data_axis=self.config.mesh.data_axis):
             first_ref = batch["caption_tokens"][:, 0, :]
@@ -806,9 +849,23 @@ class CaptioningTrainer:
                 jnp.asarray(valid))
             losses.append((float(loss_b), float(ntok_b)))
             rng, step_rng = jax.random.split(rng)
-            with self._decode_ctx():
-                tokens = np.asarray(
-                    self._val_decode_step(estate, inputs, step_rng))
+            if reranker is not None:
+                with self._decode_ctx():
+                    cand = self._val_candidates_step(estate, inputs,
+                                                     step_rng)
+                imgs = batch["image"]
+                if "image_size" in batch:
+                    # device-resize canvases: give CLIP the same resized
+                    # pixels the captioner saw (main.evaluate policy)
+                    from ..ops.resize import resize_square
+
+                    imgs = resize_square(imgs, batch["image_size"],
+                                         self.config.image_size)
+                tokens = np.asarray(reranker(imgs, cand))
+            else:
+                with self._decode_ctx():
+                    tokens = np.asarray(
+                        self._val_decode_step(estate, inputs, step_rng))
             for j in range(len(tokens)):
                 if not valid[j]:
                     continue

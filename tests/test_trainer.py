@@ -511,3 +511,39 @@ def test_step_checkpoint_midepoch_resume_scst(setup, tmp_path):
     b.train()  # skips CE, resumes SCST at batch 3
     assert int(b.state.step) == int(a.state.step)
     _all_params_equal(a.state.params, b.state.params)
+
+
+def test_validation_with_reranker(setup):
+    """With a reranker injected, `_validate_epoch` decodes
+    inference.num_candidates beam candidates per image and scores the
+    reranker's winners — the same decode as the eval CLI's rerank branch,
+    so best-ckpt selection matches what ships."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.inference.num_candidates = 3
+    cfg2.inference.beam_size = 3
+    calls = []
+
+    def fake_reranker(images, candidates):
+        cand = np.asarray(candidates)
+        calls.append((np.asarray(images).shape, cand.shape))
+        return cand[:, 1]  # always pick the second-best beam
+
+    tr = CaptioningTrainer(cfg2, train_ds, val_ds, vocab,
+                           reranker=fake_reranker)
+    val_loss, metrics = tr._validate_epoch(0)
+    assert np.isfinite(val_loss) and "CIDEr" in metrics
+    assert calls, "reranker was never invoked"
+    for img_shape, cand_shape in calls:
+        assert cand_shape[1] == 3  # num_candidates
+        assert img_shape[0] == cand_shape[0]
+
+    # winners differ from the plain top-beam decode path iff the fake
+    # reranker's picks differ — check plumbing end-to-end by comparing
+    # against a no-rerank validation under identical state
+    tr2 = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    tr2.state = tr.state
+    val_loss2, _ = tr2._validate_epoch(0)
+    assert val_loss2 == pytest.approx(val_loss)
