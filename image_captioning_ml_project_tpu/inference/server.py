@@ -165,7 +165,7 @@ class CaptionService:
     def __init__(self, config, tokenizer=None, checkpoint_path: str = None,
                  reranker=None, batch_size: int = 8,
                  max_wait_ms: float = 10.0, request_timeout_s: float = 60.0,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, bucket_sizes=None, mesh=None):
         import jax
 
         from ..main import (_make_decode_batch, _make_model_only_trainer,
@@ -173,7 +173,8 @@ class CaptionService:
 
         self.config = config
         self.tokenizer = tokenizer or setup_tokenizer(config)
-        self.trainer = _make_model_only_trainer(config, self.tokenizer)
+        self.trainer = _make_model_only_trainer(config, self.tokenizer,
+                                                mesh=mesh)
         if checkpoint_path:
             self.trainer.load_checkpoint(checkpoint_path)
         self.reranker = (reranker
@@ -183,6 +184,22 @@ class CaptionService:
         # device_put works on multi-chip meshes (same policy as eval).
         dp = self.trainer.mesh.shape.get(config.mesh.data_axis, 1)
         self.batch_size = -(-batch_size // dp) * dp
+        # Bucketed batch shapes: a quiet-hour single request should not pay
+        # a full ``batch_size``-wide decode. Each micro-batch dispatches on
+        # the smallest bucket >= queue depth; jit specializes one program
+        # per bucket shape (all compiled at warmup, so no first-request
+        # stall), and rows are independent in every decode strategy, so
+        # captions are token-identical across buckets
+        # (tests/test_server.py::test_bucketed_decode_token_identity).
+        # Default ladder 1 / 8 / batch_size (dp-rounded): three compiles
+        # buys a ~batch_size/1 latency factor at 1 req/s.
+        if bucket_sizes is None:
+            bucket_sizes = [1, 8, self.batch_size]
+        buckets = sorted({min(-(-int(b) // dp) * dp, self.batch_size)
+                          for b in bucket_sizes if int(b) >= 1})
+        if not buckets or buckets[-1] != self.batch_size:
+            buckets.append(self.batch_size)
+        self.bucket_sizes = buckets
         self.max_wait_s = max_wait_ms / 1e3
         self.request_timeout_s = request_timeout_s
         self._decode_batch = _make_decode_batch(
@@ -212,9 +229,10 @@ class CaptionService:
             t0 = time.monotonic()
             dummy = np.zeros((self.config.image_size, self.config.image_size,
                               3), dtype=np.uint8)
-            self._run_images([dummy])
-            logger.info("Serving warmup compile: %.1fs (batch %d)",
-                        time.monotonic() - t0, self.batch_size)
+            for b in self.bucket_sizes:  # one compile per bucket shape
+                self._run_images([dummy] * b)
+            logger.info("Serving warmup compile: %.1fs (buckets %s)",
+                        time.monotonic() - t0, self.bucket_sizes)
         self._stop.clear()
         self._thread = threading.Thread(target=self._batch_loop,
                                         name="caption-batcher", daemon=True)
@@ -414,13 +432,14 @@ class CaptionService:
                 req.event.set()
 
     def _dispatch(self, images: List[np.ndarray]):
-        """Pad to the fixed batch and launch the jitted decode (async —
-        returns device futures, does not block on the result)."""
+        """Pad to the smallest bucket >= the micro-batch and launch the
+        jitted decode (async — returns device futures, does not block)."""
         import jax
 
         from ..data.pipeline import shard_batch
 
-        batch = images + [images[-1]] * (self.batch_size - len(images))
+        bucket = next(b for b in self.bucket_sizes if b >= len(images))
+        batch = images + [images[-1]] * (bucket - len(images))
         # same placement policy as the eval pipeline: batch-axis-sharded
         # device_put over the mesh's data axis (each chip receives only its
         # rows; a plain jnp.asarray would commit the whole batch to device 0
@@ -468,6 +487,7 @@ def _make_handler(service: CaptionService):
                     "decoder": getattr(mc.decoder.decoder_type, "value",
                                        str(mc.decoder.decoder_type)),
                     "batch_size": service.batch_size,
+                    "bucket_sizes": service.bucket_sizes,
                 })
             elif self.path == "/stats":
                 self._reply(200, service.stats.snapshot())
@@ -526,17 +546,19 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
 
 def serve(config, checkpoint_path: str = None, tokenizer=None,
           host: str = "127.0.0.1", port: int = 8000, batch_size: int = 8,
-          max_wait_ms: float = 10.0, pipeline_depth: int = 2):
+          max_wait_ms: float = 10.0, pipeline_depth: int = 2,
+          bucket_sizes=None):
     """CLI entry: build the service, warm it up, and serve forever."""
     service = CaptionService(config, tokenizer=tokenizer,
                              checkpoint_path=checkpoint_path,
                              batch_size=batch_size, max_wait_ms=max_wait_ms,
-                             pipeline_depth=pipeline_depth)
+                             pipeline_depth=pipeline_depth,
+                             bucket_sizes=bucket_sizes)
     service.start(warmup=True)
     httpd = make_http_server(service, host, port)
-    logger.info("Serving captions on http://%s:%d (batch %d, max wait "
+    logger.info("Serving captions on http://%s:%d (buckets %s, max wait "
                 "%.0f ms) — POST image bytes to /caption", host,
-                httpd.server_address[1], service.batch_size, max_wait_ms)
+                httpd.server_address[1], service.bucket_sizes, max_wait_ms)
 
     # Graceful drain: SIGTERM stops accepting connections; service.stop()
     # then completes already-dispatched batches and fails still-queued

@@ -93,6 +93,12 @@ def build_argparser() -> argparse.ArgumentParser:
     serve.add_argument("--serve_max_wait_ms", type=float, default=10.0,
                        help="Max time the batcher holds a partial batch "
                             "waiting for more requests")
+    serve.add_argument("--serve_buckets", type=str, default=None,
+                       help="Comma-separated compiled batch-shape ladder "
+                            "(e.g. 1,8,64); each micro-batch dispatches on "
+                            "the smallest bucket >= queue depth, so a "
+                            "quiet-hour single request does not pay a "
+                            "serve_batch_size-wide decode. Default 1,8,max")
     return parser
 
 
@@ -404,10 +410,11 @@ class _EmptyDataset:
         return 0
 
 
-def _make_model_only_trainer(config: Config, tokenizer) -> CaptioningTrainer:
+def _make_model_only_trainer(config: Config, tokenizer,
+                             mesh=None) -> CaptioningTrainer:
     """A trainer with no dataset (demo / programmatic captioning)."""
     return CaptioningTrainer(config, _EmptyDataset(), _EmptyDataset(),
-                             tokenizer)
+                             tokenizer, mesh=mesh)
 
 
 def main(argv=None):
@@ -440,7 +447,9 @@ def main(argv=None):
               host=args.host, port=args.port,
               batch_size=args.serve_batch_size,
               max_wait_ms=args.serve_max_wait_ms,
-              pipeline_depth=args.serve_pipeline_depth)
+              pipeline_depth=args.serve_pipeline_depth,
+              bucket_sizes=[int(b) for b in args.serve_buckets.split(",")]
+              if args.serve_buckets else None)
 
 
 if __name__ == "__main__":

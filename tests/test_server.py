@@ -338,3 +338,58 @@ def test_stop_fails_queued_requests():
     """Stopped service surfaces shutdown to queued callers, not a hang."""
     stats = ServerStats()
     assert stats.snapshot()["latency_ms"]["p50"] is None
+
+
+def test_bucketed_decode_token_identity(served):
+    """Bucketed batch shapes (VERDICT r3 task 5): a request served on the
+    1- or 2-wide bucket must produce exactly the caption the full 8-wide
+    bucket produces — rows are independent in the beam program, so the
+    ladder only changes padding, never tokens. Single-device mesh: under
+    dp sharding buckets are rounded to data-axis multiples (asserted
+    below), so sub-dp buckets only exist per chip."""
+    cfg, vocab, service, _ = served
+    import copy
+
+    import jax
+
+    from image_captioning_ml_project_tpu.parallel.mesh import create_mesh
+
+    one = create_mesh(cfg.mesh, devices=jax.devices()[:1])
+    bucketed = CaptionService(copy.deepcopy(cfg), tokenizer=vocab,
+                              batch_size=8, max_wait_ms=1.0,
+                              bucket_sizes=[1, 2, 8], mesh=one)
+    assert bucketed.bucket_sizes == [1, 2, 8]
+    full_svc = CaptionService(copy.deepcopy(cfg), tokenizer=vocab,
+                              batch_size=8, max_wait_ms=1.0,
+                              bucket_sizes=[8], mesh=one)
+    bucketed.start(warmup=True)
+    full_svc.start(warmup=False)
+    try:
+        imgs = _rand_images(8, seed=11)
+        full = full_svc._run_images(imgs)          # always batch 8
+        # one image -> 1-bucket; two -> 2-bucket; eight -> 8-bucket
+        assert bucketed._run_images([imgs[0]]) == [full[0]]
+        assert bucketed._run_images(imgs[:2]) == full[:2]
+        assert bucketed._run_images(imgs) == full
+        # through the live batcher too (single submit = smallest bucket)
+        before = bucketed.stats.snapshot()["batches"]
+        assert bucketed.submit(imgs[3]) == full[3]
+        assert bucketed.stats.snapshot()["batches"] == before + 1
+    finally:
+        bucketed.stop()
+        full_svc.stop()
+
+
+def test_bucket_ladder_dp_rounding(served):
+    """Under a dp-sharded mesh every bucket must round up to a data-axis
+    multiple (sharded device_put needs divisible batches); the served
+    fixture spans the full 8-device mesh, so a [1, 2, 8] request ladder
+    collapses to [8]."""
+    cfg, vocab, service, _ = served
+    import copy
+
+    svc = CaptionService(copy.deepcopy(cfg), tokenizer=vocab, batch_size=8,
+                         bucket_sizes=[1, 2, 8])
+    dp = svc.trainer.mesh.shape[cfg.mesh.data_axis]
+    assert all(b % dp == 0 for b in svc.bucket_sizes)
+    assert svc.bucket_sizes[-1] == svc.batch_size
