@@ -129,6 +129,10 @@ class CaptioningTrainer:
         # this batch index within this phase ("ce" | "scst")
         self.start_batch = 0
         self.start_phase = "ce"
+        # per-epoch record (train loss, val loss, val metrics) appended by
+        # train() — programmatic runs (scripts/production_run.py) read it
+        # instead of parsing the log
+        self.history = []
 
         # Object-region (BUTD) mode: the model consumes pre-extracted
         # detector features instead of images (reference encoder:
@@ -543,6 +547,11 @@ class CaptioningTrainer:
             self.logger.info(
                 "Epoch %d: Train Loss: %.4f, Val Loss: %.4f, Val CIDEr: %.4f",
                 epoch + 1, train_loss, val_loss, val_metrics.get("CIDEr", 0.0))
+            self.history.append({
+                "epoch": epoch + 1, "train_loss": float(train_loss),
+                "val_loss": float(val_loss),
+                "val_metrics": {k: float(v) for k, v in val_metrics.items()},
+                "scst": bool(tc.use_rl and epoch >= tc.rl_start_epoch)})
             is_best = val_metrics.get("CIDEr", 0.0) > self.best_val_score
             if is_best:
                 self.best_val_score = val_metrics.get("CIDEr", 0.0)
