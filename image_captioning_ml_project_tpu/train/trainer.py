@@ -104,6 +104,18 @@ class CaptioningTrainer:
         )
 
         self.steps_per_epoch = max(len(train_dataset) // tc.batch_size, 1)
+
+        # Epochs >= rl_start_epoch take TWO optimizer passes over the data
+        # (the CE pass, then the SCST pass — both advance state.step and
+        # therefore the LR schedule), so they consume the horizon at 2x.
+        # The reference sizes its scheduler to one pass per epoch
+        # (src/train/trainer.py:139) while stepping it in both loops
+        # (:286, :381), so its SCST epochs silently train at ~0 LR; fixed
+        # here as intended behavior (surfaced by the full-size production
+        # integration run, docs/performance.md).
+        def _passes(e: int) -> int:
+            return 2 if (tc.use_rl and e >= tc.rl_start_epoch) else 1
+
         if curriculum_sampler is not None:
             # the LR schedule horizon must match the steps that will
             # actually run: curriculum pacing shrinks early epochs, so
@@ -112,11 +124,13 @@ class CaptioningTrainer:
             total = 0
             for e in range(tc.num_epochs):
                 curriculum_sampler.set_epoch(e)
-                total += max(len(curriculum_sampler) // tc.batch_size, 1)
+                total += _passes(e) * max(
+                    len(curriculum_sampler) // tc.batch_size, 1)
             curriculum_sampler.set_epoch(0)
             self.total_steps = max(total, 1)
         else:
-            self.total_steps = self.steps_per_epoch * tc.num_epochs
+            self.total_steps = self.steps_per_epoch * sum(
+                _passes(e) for e in range(tc.num_epochs))
 
         # async: the epoch-N save's disk commit overlaps epoch N+1 compute
         # (the reference's torch.save blocks the loop); train() drains

@@ -280,6 +280,35 @@ def test_val_loss_unbiased_by_padded_trailing_batch(setup):
     np.testing.assert_allclose(loss_pad, loss_full, rtol=2e-5)
 
 
+def test_lr_horizon_counts_scst_double_pass(setup):
+    """Epochs >= rl_start_epoch take two optimizer passes (CE + SCST), both
+    advancing state.step; the schedule horizon must count them or the final
+    epochs train at LR ~0 (the reference's defect: scheduler sized to one
+    pass per epoch at src/train/trainer.py:139, stepped in both loops at
+    :286 and :381 — surfaced live by the production integration run)."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.training.num_epochs = 4
+    cfg2.training.use_rl = True
+    cfg2.training.rl_start_epoch = 2
+    trainer = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    spe = trainer.steps_per_epoch
+    # epochs 0,1: one pass; epochs 2,3: CE + SCST = two passes
+    assert trainer.total_steps == spe * 6
+    # the final SCST epoch's steps sit on a live part of the schedule:
+    # under the old horizon (4*spe) every step past 4*spe ran at LR 0
+    assert float(trainer.lr_schedule(spe * 4)) > 0.0
+    assert float(trainer.lr_schedule(trainer.total_steps - 1)) > 0.0
+
+    cfg3 = copy.deepcopy(cfg)
+    cfg3.training.num_epochs = 4
+    cfg3.training.use_rl = False
+    assert CaptioningTrainer(
+        cfg3, train_ds, val_ds, vocab).total_steps == spe * 4
+
+
 def test_scst_runs_host_reward(setup):
     cfg, vocab, train_ds, val_ds = setup
     import copy
