@@ -284,6 +284,14 @@ class Config:
     # modern trainer loses up to a full epoch on preemption
     # (src/train/trainer.py:569-598); async Orbax makes step saves cheap.
     save_every_steps: int = 0
+    # Adaptive step-checkpoint throttle (0 = off): step checkpoints may
+    # consume at most this fraction of wall time. After a save whose
+    # blocking portion cost c seconds, the next step save is skipped until
+    # c / frac seconds have elapsed — so a slow storage path (the full-size
+    # production run hit a 36-minute blocking D2H over the axon tunnel,
+    # docs/performance.md) degrades checkpoint granularity instead of
+    # stalling training indefinitely. Epoch checkpoints are never skipped.
+    step_ckpt_max_overhead: float = 0.0
 
     device: str = "tpu"
     num_workers: int = 4

@@ -597,7 +597,28 @@ class CaptioningTrainer:
         ``phase``; resume re-creates the identically-seeded epoch iterator
         and skips exactly that many chunks. One rolling name keeps disk
         bounded; the wait drains the previous in-flight save so Orbax never
-        overwrites a path mid-commit (N steps apart, it is long done)."""
+        overwrites a path mid-commit (N steps apart, it is long done).
+
+        With ``config.step_ckpt_max_overhead`` > 0 the save is adaptively
+        throttled: after a save whose blocking portion cost ``c`` seconds,
+        further step saves are skipped until ``c / frac`` wall seconds have
+        passed. A healthy storage path is unaffected; a degraded one (the
+        production run measured a 36-minute blocking D2H during a tunnel
+        bandwidth collapse) coarsens checkpoint granularity instead of
+        repeatedly stalling the train loop."""
+        import time
+
+        frac = getattr(self.config, "step_ckpt_max_overhead", 0.0)
+        now = time.monotonic()
+        if frac and hasattr(self, "_step_ckpt_done_t"):
+            wait_s = self._step_ckpt_cost_s / frac
+            if now - self._step_ckpt_done_t < wait_s:
+                self.logger.warning(
+                    "step checkpoint throttled: last save blocked %.1fs; "
+                    "next allowed %.0fs after it (%.0fs remain)",
+                    self._step_ckpt_cost_s, wait_s,
+                    wait_s - (now - self._step_ckpt_done_t))
+                return
         self.ckpt.wait_until_finished()
         state_tree = {
             "params": self.state.params,
@@ -605,12 +626,15 @@ class CaptioningTrainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+        t0 = time.monotonic()
         self.ckpt.save(
             "checkpoint_step", state_tree,
             metadata={"epoch": epoch, "batch_index": batch_index,
                       "phase": phase,
                       "best_val_score": self.best_val_score},
             config=self.config)
+        self._step_ckpt_done_t = time.monotonic()
+        self._step_ckpt_cost_s = self._step_ckpt_done_t - t0
 
     def _train_epoch(self, epoch: int, rng, start_batch: int = 0,
                      start_phase: str = "ce") -> float:

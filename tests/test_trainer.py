@@ -280,6 +280,45 @@ def test_val_loss_unbiased_by_padded_trailing_batch(setup):
     np.testing.assert_allclose(loss_pad, loss_full, rtol=2e-5)
 
 
+def test_step_ckpt_adaptive_throttle(setup):
+    """step_ckpt_max_overhead bounds checkpoint overhead: after a save
+    that blocked c seconds, further step saves are skipped until c/frac
+    wall seconds pass (production run evidence: a tunnel-weather save
+    blocked 36 min; docs/performance.md). frac=0 disables the throttle."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+    import time as _time
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.step_ckpt_max_overhead = 0.5
+    trainer = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    saves = []
+
+    def slow_save(*a, **kw):
+        # pure fake: the throttle is under test, not orbax — a real save's
+        # own blocking cost would widen the c/frac window unpredictably
+        saves.append(a[0])
+        _time.sleep(0.2)
+
+    trainer.ckpt.save = slow_save
+    trainer.save_step_checkpoint(0, 1, "ce")
+    assert len(saves) == 1
+    # immediately after a 0.2s save, the next is inside the 0.4s window
+    trainer.save_step_checkpoint(0, 2, "ce")
+    assert len(saves) == 1, "save inside the throttle window must skip"
+    _time.sleep(0.45)
+    trainer.save_step_checkpoint(0, 3, "ce")
+    assert len(saves) == 2, "save after the window must go through"
+
+    # frac=0 (default) never throttles
+    trainer2 = CaptioningTrainer(copy.deepcopy(cfg), train_ds, val_ds, vocab)
+    n = []
+    trainer2.ckpt.save = lambda *a, **kw: n.append(1)
+    trainer2.save_step_checkpoint(0, 1, "ce")
+    trainer2.save_step_checkpoint(0, 2, "ce")
+    assert len(n) == 2
+
+
 def test_lr_horizon_counts_scst_double_pass(setup):
     """Epochs >= rl_start_epoch take two optimizer passes (CE + SCST), both
     advancing state.step; the schedule horizon must count them or the final
