@@ -109,6 +109,52 @@ def flood(service, images, seconds: float, clients: int):
     return sum(counts), wall, service.stats.snapshot()
 
 
+def lowload(service, images, seconds: float, rate_hz: float = 1.0):
+    """Quiet-hour profile: ONE client issuing rate_hz blocking requests/s.
+    Measures what a single user pays when the batcher is otherwise idle —
+    the case the bucketed batch shapes exist for (a 1-wide decode instead
+    of a full serve_batch_size-wide one). Returns per-request ms."""
+    lat = []
+    t_next = time.perf_counter()
+    end = t_next + seconds
+    i = 0
+    while t_next < end:
+        now = time.perf_counter()
+        if now < t_next:
+            time.sleep(t_next - now)
+        t0 = time.perf_counter()
+        service.submit(images[i % len(images)])
+        lat.append((time.perf_counter() - t0) * 1e3)
+        i += 1
+        t_next += 1.0 / rate_hz
+    return lat
+
+
+def run_lowload(cfg, vocab, images, batch, seconds: float, backend: str):
+    """p50/p95 at 1 req/s with the bucket ladder vs a single full-width
+    bucket (the pre-bucketing behavior), one JSON line each."""
+    from image_captioning_ml_project_tpu.inference.server import (
+        CaptionService)
+
+    for label, buckets in (("bucketed[1,8,max]", None),
+                           ("single[max]", [batch])):
+        service = CaptionService(cfg, tokenizer=vocab, batch_size=batch,
+                                 max_wait_ms=5.0, request_timeout_s=300.0,
+                                 pipeline_depth=2, bucket_sizes=buckets)
+        service.start(warmup=True)
+        lowload(service, images, min(5.0, seconds / 3))  # settle
+        lat = lowload(service, images, seconds)
+        service.stop()
+        lat.sort()
+        print(json.dumps({
+            "metric": f"serve_lowload_latency_ms[{backend}]",
+            "buckets": label, "batch": service.batch_size,
+            "rate_hz": 1.0, "n": len(lat),
+            "p50": round(lat[len(lat) // 2], 1),
+            "p95": round(lat[int(len(lat) * 0.95)], 1),
+        }), flush=True)
+
+
 def main():
     from bench import _backend_responsive
 
@@ -138,6 +184,9 @@ def main():
     vocab = _Vocab(cfg.model.vocab_size)
 
     mode = os.environ.get("SERVE_MODE", "closed")
+    if mode == "lowload":
+        run_lowload(cfg, vocab, images, batch, seconds, backend)
+        return
     for depth in depths:
         service = CaptionService(cfg, tokenizer=vocab, batch_size=batch,
                                  max_wait_ms=5.0, request_timeout_s=300.0,
