@@ -81,6 +81,14 @@ def build_argparser() -> argparse.ArgumentParser:
                              "patch-embed matmul: the jitted step consumes "
                              "raw uint8 and the normalized image is never "
                              "materialized (models/encoders.PatchEmbed)")
+    parser.add_argument("--save_every_steps", type=int, default=None,
+                        help="Rolling mid-epoch checkpoint every N train "
+                             "batches (resume continues inside the epoch); "
+                             "0 disables. See config.save_every_steps")
+    parser.add_argument("--step_ckpt_max_overhead", type=float, default=None,
+                        help="Adaptive throttle: step checkpoints may use "
+                             "at most this fraction of wall time (0 = "
+                             "always save). See config.step_ckpt_max_overhead")
     serve = parser.add_argument_group("serve mode (inference/server.py)")
     serve.add_argument("--host", type=str, default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -134,6 +142,10 @@ def _update_config_from_args(config: Config, args) -> None:
         config.native_draft = True
     if getattr(args, "fold_normalize", False):
         config.fold_normalize = True
+    if getattr(args, "save_every_steps", None) is not None:
+        config.save_every_steps = args.save_every_steps
+    if getattr(args, "step_ckpt_max_overhead", None) is not None:
+        config.step_ckpt_max_overhead = args.step_ckpt_max_overhead
 
 
 def setup_tokenizer(config: Config, vocab_path: Optional[str] = None,

@@ -90,6 +90,29 @@ def test_unknown_keys_ignored():
     assert isinstance(c, Config)
 
 
+def test_step_ckpt_cli_flags_plumb_to_config():
+    """--save_every_steps / --step_ckpt_max_overhead reach the Config
+    (trainer.save_step_checkpoint's cadence + adaptive throttle)."""
+    from image_captioning_ml_project_tpu.config import get_default_config
+    from image_captioning_ml_project_tpu.main import (
+        _update_config_from_args, build_argparser)
+
+    args = build_argparser().parse_args(
+        ["--mode", "train", "--save_every_steps", "250",
+         "--step_ckpt_max_overhead", "0.25"])
+    config = get_default_config()
+    _update_config_from_args(config, args)
+    assert config.save_every_steps == 250
+    assert config.step_ckpt_max_overhead == 0.25
+    # 0 is a real value (explicitly disable), not "unset"
+    args = build_argparser().parse_args(
+        ["--mode", "train", "--save_every_steps", "0"])
+    config2 = get_default_config()
+    config2.save_every_steps = 99
+    _update_config_from_args(config2, args)
+    assert config2.save_every_steps == 0
+
+
 def test_native_loader_cli_flags_plumb_to_config_and_dataset(tmp_path):
     """--native_loader/--native_threads/--native_draft reach the Config and
     the datasets built from it (native/loader.py pipeline)."""
