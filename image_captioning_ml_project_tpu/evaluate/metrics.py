@@ -241,10 +241,13 @@ def _meteor_align(cand: Sequence[str], ref: Sequence[str],
     unavailable — documented delta vs Java METEOR). Objective follows the
     METEOR aligner spec: maximize the number of matched words; among
     maximum matchings, minimize the number of chunks (maximal runs of
-    contiguous-and-ordered pairs); break remaining ties toward more
-    exact-module matches. Exhaustive DFS with pruning — captions are
-    short (<=50 tokens); a node budget guards pathological duplication,
-    falling back to the best alignment found so far.
+    contiguous-and-ordered pairs). METEOR's further tie-break toward
+    exact-module matches is unobservable here — only (matches, chunks)
+    feeds the score — so it is not tracked. Exhaustive DFS with pruning —
+    captions are short (<=50 tokens); a node budget guards pathological
+    duplication. The search is seeded with the chunk count of the maximum
+    matching itself (a feasible alignment), so even a budget-exhausted
+    return is a valid, achievable chunk count — never a sentinel.
     """
     if not cand or not ref:
         return 0, 0
@@ -281,40 +284,46 @@ def _meteor_align(cand: Sequence[str], ref: Sequence[str],
     for i in range(len(cand) - 1, -1, -1):
         can_match_suffix[i] = can_match_suffix[i + 1] + (1 if comp[i] else 0)
 
-    best = [max_matches, len(cand) + 1, -1]  # matches, chunks, exact
+    # seed with the augmenting-path matching's own chunk count: a feasible
+    # maximum-matching alignment, so best[1] is always achievable even if
+    # the DFS budget trips before any leaf is reached
+    pairs = sorted((i, j) for j, i in enumerate(match_r) if i != -1)
+    seed_chunks, pi, pj = 0, -2, -2
+    for i, j in pairs:
+        if not (i == pi + 1 and j == pj + 1):
+            seed_chunks += 1
+        pi, pj = i, j
+    best = [max_matches, seed_chunks]  # matches, chunks
     nodes = [0]
 
-    def dfs(ci: int, used: int, matched: int, chunks: int, exact: int,
+    def dfs(ci: int, used: int, matched: int, chunks: int,
             last_ci: int, last_ri: int):
         if nodes[0] > node_budget:
             return
         nodes[0] += 1
-        if chunks > best[1]:
-            return  # chunks only grow
+        if chunks >= best[1]:
+            return  # chunks only grow; equality can no longer improve
         if matched + can_match_suffix[ci] < max_matches:
             return  # cannot reach a maximum matching anymore
         if ci == len(cand):
-            if matched == max_matches and (
-                    chunks < best[1]
-                    or (chunks == best[1] and exact > best[2])):
-                best[1], best[2] = chunks, exact
+            if matched == max_matches:
+                best[1] = chunks
             return
         # try continuing the current chunk first (finds low-chunk
         # alignments early, which tightens the prune)
         options = sorted(
             comp[ci],
-            key=lambda jr: (not (ci == last_ci + 1 and jr[0] == last_ri + 1),
-                            not jr[1]))
-        for j, is_exact in options:
+            key=lambda jr: not (ci == last_ci + 1 and jr[0] == last_ri + 1))
+        for j, _ in options:
             if used >> j & 1:
                 continue
             new_chunk = 0 if (ci == last_ci + 1 and j == last_ri + 1) else 1
             dfs(ci + 1, used | (1 << j), matched + 1, chunks + new_chunk,
-                exact + (1 if is_exact else 0), ci, j)
+                ci, j)
         # or leave this candidate word unmatched
-        dfs(ci + 1, used, matched, chunks, exact, last_ci, last_ri)
+        dfs(ci + 1, used, matched, chunks, last_ci, last_ri)
 
-    dfs(0, 0, 0, 0, 0, -2, -2)
+    dfs(0, 0, 0, 0, -2, -2)
     return max_matches, best[1]
 
 

@@ -438,6 +438,10 @@ class CaptionService:
 
         from ..data.pipeline import shard_batch
 
+        if len(images) > self.batch_size:  # batcher never exceeds it, but
+            raise ValueError(              # _run_images chunks rely on this
+                f"micro-batch of {len(images)} exceeds batch_size "
+                f"{self.batch_size}")
         bucket = next(b for b in self.bucket_sizes if b >= len(images))
         batch = images + [images[-1]] * (bucket - len(images))
         # same placement policy as the eval pipeline: batch-axis-sharded
@@ -453,13 +457,20 @@ class CaptionService:
         return tokens, arr
 
     def _run_images(self, images: List[np.ndarray]) -> List[str]:
-        """Synchronous decode (warmup / programmatic use)."""
-        tokens, arr = self._dispatch(images)
-        if self.reranker is not None:
-            tokens = self.reranker(arr, tokens)
-        tokens = np.asarray(tokens)
-        return [self.tokenizer.decode(tokens[i], skip_special_tokens=True)
-                for i in range(len(images))]
+        """Synchronous decode (warmup / programmatic use). Accepts any
+        number of images — chunks into ``batch_size`` micro-batches so a
+        programmatic caller is never bound by the compiled bucket ladder."""
+        captions: List[str] = []
+        for lo in range(0, len(images), self.batch_size):
+            chunk = images[lo:lo + self.batch_size]
+            tokens, arr = self._dispatch(chunk)
+            if self.reranker is not None:
+                tokens = self.reranker(arr, tokens)
+            tokens = np.asarray(tokens)
+            captions.extend(
+                self.tokenizer.decode(tokens[i], skip_special_tokens=True)
+                for i in range(len(chunk)))
+        return captions
 
 
 # -- HTTP layer --------------------------------------------------------------

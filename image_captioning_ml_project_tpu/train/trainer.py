@@ -369,36 +369,14 @@ class CaptioningTrainer:
 
         self._val_decode_step = jax.jit(val_decode_step)
 
-        def val_candidates_step(state: TrainState, images, rng):
-            """[B, num_candidates, L] beam candidates for CLIP-reranked
-            validation — the same candidate generator as the eval CLI's
-            rerank branch (main._make_decode_batch)."""
-            from ..inference.decoding import beam_search
+        # CLIP-reranked validation candidates: literally the eval CLI's
+        # rerank-branch program (not a copy of it), so best-CIDEr
+        # checkpoint selection can never drift from what ships. Lazy
+        # import — main.py imports this module at top level.
+        from ..main import _make_decode_batch
 
-            images = self._prepare_inputs(images)
-            variables = self._model_vars(state)
-            B = jax.tree_util.tree_leaves(images)[0].shape[0]
-            mc, ic = self.config.model, self.config.inference
-            max_length = ic.max_length
-            cache = self.model.apply(variables, images, max_length,
-                                     method=self.model.init_cache)
-
-            def step_fn(s, toks):
-                return self.model.apply(variables, s, toks,
-                                        method=self.model.step)
-
-            res = beam_search(step_fn, cache, B,
-                              max(ic.beam_size, ic.num_candidates),
-                              mc.bos_token_id, mc.eos_token_id,
-                              mc.pad_token_id, max_length,
-                              length_penalty=ic.length_penalty,
-                              min_length=ic.min_length,
-                              num_beam_groups=ic.num_beam_groups,
-                              diversity_penalty=ic.diversity_penalty,
-                              return_all=True)
-            return res.tokens[:, : ic.num_candidates]
-
-        self._val_candidates_step = jax.jit(val_candidates_step)
+        self._val_candidates_step = _make_decode_batch(
+            self, self.config, rerank=True)
 
         def rollout_step(state: TrainState, images, rng, max_length):
             """SCST rollouts: one sampled + one greedy decode, shared
@@ -619,16 +597,13 @@ class CaptioningTrainer:
                     self._step_ckpt_cost_s, wait_s,
                     wait_s - (now - self._step_ckpt_done_t))
                 return
-        self.ckpt.wait_until_finished()
-        state_tree = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-            "opt_state": self.state.opt_state,
-            "step": self.state.step,
-        }
+        # the measured blocking cost includes the drain of the PREVIOUS
+        # in-flight save: if the slow leg of the storage path is the async
+        # disk commit rather than the D2H, the throttle must still see it
         t0 = time.monotonic()
+        self.ckpt.wait_until_finished()
         self.ckpt.save(
-            "checkpoint_step", state_tree,
+            "checkpoint_step", self._state_tree(),
             metadata={"epoch": epoch, "batch_index": batch_index,
                       "phase": phase,
                       "best_val_score": self.best_val_score},
@@ -645,8 +620,15 @@ class CaptioningTrainer:
             # resumed inside the RL phase: the CE pass of this epoch already
             # ran before preemption
             if tc.use_rl and epoch >= tc.rl_start_epoch:
-                self._train_reinforcement_learning(epoch, rng,
-                                                   start_batch=start_batch)
+                # report the RL loss so the epoch's history row carries the
+                # loss that was actually trained (not a fake 0.0 CE loss)
+                return self._train_reinforcement_learning(
+                    epoch, rng, start_batch=start_batch)
+            self.logger.warning(
+                "resumed a '%s'-phase checkpoint for epoch %d but the "
+                "current config has use_rl=%s rl_start_epoch=%d — no "
+                "training pass remains for this epoch", start_phase,
+                epoch + 1, tc.use_rl, tc.rl_start_epoch)
             return 0.0
         save_steps = getattr(self.config, "save_every_steps", 0)
         meter = MetricLogger()
@@ -788,7 +770,7 @@ class CaptioningTrainer:
                 self.save_step_checkpoint(epoch, i + 1, "scst")
             if (i + 1) % self.config.log_every == 0:
                 self.logger.info("SCST batch %d: %s", i + 1, meter)
-        return None
+        return meter.averages().get("rl_loss", 0.0)
 
     def _train_scst_host_reward(self, epoch: int, rng, start_batch: int = 0):
         self.logger.info("Running SCST for epoch %d", epoch + 1)
@@ -930,26 +912,25 @@ class CaptioningTrainer:
     # checkpointing (reference: src/train/trainer.py:569-620)
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, epoch: int, is_best: bool = False):
-        state_tree = {
+    def _state_tree(self):
+        """The one checkpointed view of TrainState — save_checkpoint,
+        save_step_checkpoint, and load_checkpoint must agree or resume
+        silently drops fields."""
+        return {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+
+    def save_checkpoint(self, epoch: int, is_best: bool = False):
         self.ckpt.save_epoch(
-            epoch, state_tree,
+            epoch, self._state_tree(),
             metadata={"epoch": epoch, "best_val_score": self.best_val_score},
             config=self.config, is_best=is_best)
 
     def load_checkpoint(self, name: str = "best_model"):
-        target = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-            "opt_state": self.state.opt_state,
-            "step": self.state.step,
-        }
-        restored, meta, _ = self.ckpt.restore(name, target)
+        restored, meta, _ = self.ckpt.restore(name, self._state_tree())
         self.state = TrainState(
             params=restored["params"],
             batch_stats=restored["batch_stats"],

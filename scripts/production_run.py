@@ -369,7 +369,14 @@ def driver():
                   for n in os.listdir(os.path.join(outdir, "ckpt"))
                   if n.startswith("checkpoint_epoch_")
                   and not n.endswith(".meta.json")]
-        ckpt_name = (f"checkpoint_epoch_{max(epochs)}" if epochs else None)
+        if not epochs:
+            # nothing survived the kill: phase 2 would silently retrain
+            # from scratch while claiming a resume — fail loudly instead
+            print("PRODRUN no checkpoint survived the kill; the resume "
+                  "leg cannot be demonstrated (kill landed too early). "
+                  "Re-run with a later --kill-after.", flush=True)
+            sys.exit(3)
+        ckpt_name = f"checkpoint_epoch_{max(epochs)}"
         print(f"PRODRUN checkpoint_step missing; resuming from {ckpt_name}",
               flush=True)
     t1 = time.time()

@@ -133,16 +133,34 @@ def test_meteor_fewest_chunks_alignment():
     assert score == pytest.approx(1 - 0.5 * (2 / 3) ** 3, rel=1e-6)
 
 
-def test_meteor_align_prefers_exact_on_chunk_ties():
+def test_meteor_align_crossed_pairs_and_no_match():
     from image_captioning_ml_project_tpu.evaluate.metrics import _meteor_align
 
     # both words of the candidate match somewhere; maximum matching is 2
-    # and the minimum chunk count is 2 either way; exact pairs must win
+    # and the minimum chunk count is 2 (crossed pairs can't be contiguous)
     m, chunks = _meteor_align(["cat", "dog"], ["dog", "cat"])
     assert (m, chunks) == (2, 2)
     # unmatched-only words contribute nothing
     m, chunks = _meteor_align(["x", "y"], ["p", "q"])
     assert (m, chunks) == (0, 0)
+
+
+def test_meteor_align_budget_exhaustion_returns_feasible_chunks():
+    """A tripped DFS node budget must fall back to the seeded maximum
+    matching's chunk count — a real, achievable alignment — never the
+    old chunks=len(cand)+1 sentinel that drove penalty > 1 and silently
+    zeroed the sample's METEOR score."""
+    from image_captioning_ml_project_tpu.evaluate.metrics import _meteor_align
+
+    # pathological duplication (degenerate SCST-style output)
+    cand = ["a"] * 12 + ["b"] * 12
+    ref = ["b"] * 12 + ["a"] * 12
+    m, chunks = _meteor_align(cand, ref, node_budget=0)
+    assert m == 24
+    assert 1 <= chunks <= m  # feasible, not the m+1 sentinel
+    # and the score pipeline stays positive for a caption full of matches
+    score, _ = meteor_lite([cand], [[ref]])
+    assert score > 0.0
 
 
 def test_calculate_metrics_native_keys():

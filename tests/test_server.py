@@ -380,6 +380,18 @@ def test_bucketed_decode_token_identity(served):
         full_svc.stop()
 
 
+def test_run_images_chunks_past_batch_size(served):
+    """_run_images is documented for programmatic use: more images than
+    batch_size must chunk into micro-batches (the bucket ladder tops out
+    at batch_size), not raise StopIteration hunting for a bigger bucket."""
+    cfg, vocab, service, _ = served
+    imgs = _rand_images(8, seed=23) + _rand_images(2, seed=29)
+    caps = service._run_images(imgs)
+    assert len(caps) == 10
+    assert caps[:8] == service._run_images(imgs[:8])
+    assert caps[8:] == service._run_images(imgs[8:])
+
+
 def test_bucket_ladder_dp_rounding(served):
     """Under a dp-sharded mesh every bucket must round up to a data-axis
     multiple (sharded device_put needs divisible batches); the served
