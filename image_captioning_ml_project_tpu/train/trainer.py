@@ -573,8 +573,11 @@ class CaptioningTrainer:
 
         ``batch_index`` is the number of batches *completed* this epoch in
         ``phase``; resume re-creates the identically-seeded epoch iterator
-        and skips exactly that many chunks. One rolling name keeps disk
-        bounded; the wait drains the previous in-flight save so Orbax never
+        and skips exactly that many chunks. Two alternating slots keep
+        disk bounded while the newest committed save is never the
+        ``force=True`` deletion target (a single rolling name lost BOTH
+        saves to a host kill mid-save — utils/checkpoint.py:STEP_SLOTS);
+        the wait drains the previous in-flight save so Orbax never
         overwrites a path mid-commit (N steps apart, it is long done).
 
         With ``config.step_ckpt_max_overhead`` > 0 the save is adaptively
@@ -602,10 +605,10 @@ class CaptioningTrainer:
         # disk commit rather than the D2H, the throttle must still see it
         t0 = time.monotonic()
         self.ckpt.wait_until_finished()
-        self.ckpt.save(
-            "checkpoint_step", self._state_tree(),
+        self.ckpt.save_step(
+            self._state_tree(),
             metadata={"epoch": epoch, "batch_index": batch_index,
-                      "phase": phase,
+                      "phase": phase, "step": int(self.state.step),
                       "best_val_score": self.best_val_score},
             config=self.config)
         self._step_ckpt_done_t = time.monotonic()

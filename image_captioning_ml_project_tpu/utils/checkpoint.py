@@ -19,6 +19,46 @@ import orbax.checkpoint as ocp
 
 from ..config import Config, config_to_dict
 
+# Physical slots behind the logical rolling step checkpoint. ``save()``
+# uses ``force=True`` which DELETES the target before the new commit; a
+# crash inside that window with a single rolling name destroys both the
+# old and the new save (observed live: a host kill mid-save left only
+# epoch checkpoints). Alternating two slots means the previously
+# committed save is never the deletion target.
+STEP_SLOTS = ("checkpoint_step_0", "checkpoint_step_1")
+# accepted on restore for checkpoints written before the two-slot scheme
+_LEGACY_STEP = "checkpoint_step"
+
+
+def _step_sort_key(directory: str, name: str):
+    """Recency key for a committed step checkpoint: optimizer step if the
+    sidecar recorded it, else (epoch, phase, batch) — both monotonic over
+    a run. The sidecar alone does not prove a commit (it is written as
+    soon as the save is staged); callers must check the tree dir."""
+    meta_path = os.path.join(directory, name + ".meta.json")
+    m = {}
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                m = json.load(f).get("metadata", {})
+        except (OSError, ValueError):
+            m = {}
+    return (m.get("step", -1), m.get("epoch", -1),
+            1 if m.get("phase") == "scst" else 0, m.get("batch_index", -1))
+
+
+def latest_step_checkpoint(directory: str) -> Optional[str]:
+    """Name of the newest COMMITTED rolling step checkpoint in
+    ``directory`` (two-slot scheme + the legacy single name), or None.
+    Committed = the Orbax tree directory exists — Orbax renames the tmp
+    dir into place atomically at commit, so a crash mid-save leaves no
+    directory for the interrupted slot."""
+    candidates = [n for n in STEP_SLOTS + (_LEGACY_STEP,)
+                  if os.path.isdir(os.path.join(directory, n))]
+    if not candidates:
+        return None
+    return max(candidates, key=lambda n: _step_sort_key(directory, n))
+
 
 class CheckpointManager:
     """Minimal epoch-granular checkpoint store.
@@ -67,10 +107,32 @@ class CheckpointManager:
         """Drain any in-flight async save (no-op for sync saves)."""
         self._ckptr.wait_until_finished()
 
+    def save_step(self, state: Dict[str, Any],
+                  metadata: Optional[Dict[str, Any]] = None,
+                  config: Optional[Config] = None) -> str:
+        """Rolling step checkpoint into the slot NOT holding the newest
+        committed save, so a crash during this save (including the
+        ``force=True`` delete of the target) can only lose a stale slot,
+        never the latest durable state. Returns the slot written. The
+        caller should drain in-flight saves first (the trainer does)."""
+        newest = latest_step_checkpoint(self.directory)
+        slot = STEP_SLOTS[1] if newest == STEP_SLOTS[0] else STEP_SLOTS[0]
+        self.save(slot, state, metadata, config)
+        return slot
+
+    def _resolve(self, name: str) -> str:
+        """The logical rolling name resolves to the newest committed slot
+        when no literal (legacy) tree of that name exists."""
+        if name == _LEGACY_STEP and not os.path.isdir(self._path(name)):
+            latest = latest_step_checkpoint(self.directory)
+            if latest is not None:
+                return latest
+        return name
+
     def restore(self, name: str, target: Optional[Dict[str, Any]] = None):
         """Restore a pytree; ``target`` provides structure/shardings."""
         self._ckptr.wait_until_finished()
-        path = self._path(name)
+        path = self._path(self._resolve(name))
         if target is not None:
             state = self._ckptr.restore(path, target)
         else:
@@ -84,7 +146,7 @@ class CheckpointManager:
 
     def exists(self, name: str) -> bool:
         self._ckptr.wait_until_finished()
-        return os.path.exists(self._path(name))
+        return os.path.exists(self._path(self._resolve(name)))
 
     def save_epoch(self, epoch: int, state, metadata=None, config=None,
                    is_best: bool = False):

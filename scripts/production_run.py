@@ -234,8 +234,9 @@ def _kill_when_midepoch(proc, ckpt_dir: str, timeout_s: float):
     """Poll the rolling step checkpoint; SIGTERM the child once it has
     committed a mid-epoch save inside epoch >= 2 (all programs compiled,
     steady state — killing mid-compile can wedge the axon tunnel)."""
-    meta = os.path.join(ckpt_dir, "checkpoint_step.meta.json")
-    tree = os.path.join(ckpt_dir, "checkpoint_step")
+    from image_captioning_ml_project_tpu.utils.checkpoint import (
+        latest_step_checkpoint)
+
     want_epoch, want_batch = (1, 5) if TINY else (1, 50)
     t0 = time.time()
     reason = "timeout"
@@ -243,16 +244,17 @@ def _kill_when_midepoch(proc, ckpt_dir: str, timeout_s: float):
         if proc.poll() is not None:
             return "exited"
         try:
-            with open(meta) as f:
+            # latest_step_checkpoint only returns COMMITTED trees (orbax
+            # renames the tmp dir into place at commit); with the two-slot
+            # scheme a kill mid-save can at worst lose the stale slot
+            name = latest_step_checkpoint(ckpt_dir)
+            if name is None:
+                raise OSError
+            with open(os.path.join(ckpt_dir, name + ".meta.json")) as f:
                 m = json.load(f)["metadata"]
-            # require the COMMITTED tree too: orbax renames the tmp dir
-            # into place at commit, and the rolling overwrite deletes the
-            # old one first — killing inside that window would leave no
-            # step checkpoint (the driver's epoch-ckpt fallback covers the
-            # residual race between this check and the signal)
             if (m.get("epoch", 0) >= want_epoch
                     and m.get("batch_index", 0) >= want_batch
-                    and m.get("phase") == "ce" and os.path.isdir(tree)):
+                    and m.get("phase") == "ce"):
                 reason = f"epoch {m['epoch']} batch {m['batch_index']}"
                 break
         except (OSError, ValueError, KeyError):
@@ -359,11 +361,14 @@ def driver():
 
     from image_captioning_ml_project_tpu.main import evaluate, train
 
+    from image_captioning_ml_project_tpu.utils.checkpoint import (
+        latest_step_checkpoint)
+
     c = prod_config(root, outdir, vocab)
     rr = build_random_reranker(vocab)
-    ckpt_name = "checkpoint_step"
-    if not os.path.exists(os.path.join(outdir, "ckpt", ckpt_name)):
-        # SIGTERM landed inside the rolling save's delete/commit window —
+    ckpt_name = latest_step_checkpoint(os.path.join(outdir, "ckpt"))
+    if ckpt_name is None:
+        # SIGTERM landed before any step save committed —
         # fall back to the newest epoch checkpoint
         epochs = [int(n.rsplit("_", 1)[1])
                   for n in os.listdir(os.path.join(outdir, "ckpt"))

@@ -114,7 +114,10 @@ def main():
         vocab = os.path.join(base, "out", "vocab.json")
         run("modern train", [f"{pkg}.main", "--mode", "train",
                              "--config", cfg_path])
-        assert os.path.exists(os.path.join(base, "ckpt", "checkpoint_step")), \
+        from image_captioning_ml_project_tpu.utils.checkpoint import (
+            latest_step_checkpoint)
+
+        assert latest_step_checkpoint(os.path.join(base, "ckpt")), \
             "step checkpoint missing"
         run("modern eval", [f"{pkg}.main", "--mode", "eval",
                             "--config", cfg_path,

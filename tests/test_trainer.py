@@ -581,6 +581,45 @@ def test_step_checkpoint_midepoch_resume_scst(setup, tmp_path):
     _all_params_equal(a.state.params, b.state.params)
 
 
+def test_step_checkpoint_two_slot_durability(setup, tmp_path):
+    """The rolling step checkpoint alternates two physical slots so the
+    newest committed save is never Orbax's ``force=True`` deletion
+    target: a single rolling name lost BOTH the old and in-flight saves
+    to a host kill mid-save (observed live in the round-4 production
+    run). Simulate that crash window: delete the newest slot's tree and
+    the logical name must resolve to the older committed slot."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+    import os
+    import shutil
+
+    from image_captioning_ml_project_tpu.utils.checkpoint import (
+        STEP_SLOTS, latest_step_checkpoint)
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg2.save_every_steps = 1  # a save after every batch
+    a = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    a.train()
+    a.ckpt.wait_until_finished()
+    assert all(os.path.isdir(os.path.join(cfg2.checkpoint_dir, s))
+               for s in STEP_SLOTS)  # >=2 saves -> both slots committed
+    newest = latest_step_checkpoint(cfg2.checkpoint_dir)
+    full_step = int(a.state.step)
+
+    # crash window: the newest slot's tree vanishes mid-commit
+    shutil.rmtree(os.path.join(cfg2.checkpoint_dir, newest))
+    survivor = latest_step_checkpoint(cfg2.checkpoint_dir)
+    assert survivor is not None and survivor != newest
+
+    b = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    b.load_checkpoint("checkpoint_step")  # logical name -> survivor slot
+    assert 0 < int(b.state.step) < full_step
+    b.train()  # resumes and completes bit-identical to the full run
+    assert int(b.state.step) == full_step
+    _all_params_equal(a.state.params, b.state.params)
+
+
 def test_validation_with_reranker(setup):
     """With a reranker injected, `_validate_epoch` decodes
     inference.num_candidates beam candidates per image and scores the
