@@ -277,7 +277,9 @@ class Config:
     log_every: int = 100
     save_every: int = 1
     # Mid-epoch (step-granular) checkpoints every N train batches under the
-    # rolling name ``checkpoint_step`` (0 = off). Metadata records (epoch,
+    # logical rolling name ``checkpoint_step`` (0 = off), physically two
+    # alternating slots so a crash mid-save never loses the newest
+    # committed save (utils/checkpoint.py:STEP_SLOTS). Metadata records (epoch,
     # batch_index, phase) so ``load_checkpoint`` resumes *inside* the epoch
     # with the identical remaining batch sequence — the reference's legacy
     # stack saves every 1000 batches (reference: train.py:117-140) but its
