@@ -91,8 +91,25 @@ def _backend_responsive(timeout_s: int = 300) -> bool:
         return False
 
 
+def _backend_responsive_with_retries() -> bool:
+    """The axon tunnel's wedges are often transient (minutes); a one-shot
+    probe at the wrong moment would record a CPU number for the round.
+    Retry the probe (BENCH_PROBE_RETRIES, default 3; BENCH_PROBE_WAIT_S
+    between attempts, default 120) before giving up."""
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", 3))
+    wait_s = float(os.environ.get("BENCH_PROBE_WAIT_S", 120))
+    for attempt in range(retries):
+        if _backend_responsive():
+            return True
+        if attempt < retries - 1:
+            print(f"bench.py: backend probe {attempt + 1}/{retries} failed; "
+                  f"retrying in {wait_s:.0f}s", file=sys.stderr)
+            time.sleep(wait_s)
+    return False
+
+
 def main():
-    if not _backend_responsive():
+    if not _backend_responsive_with_retries():
         print("bench.py: accelerator backend unresponsive; "
               "falling back to CPU smoke run", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
