@@ -486,7 +486,11 @@ class CaptioningTrainer:
                                                sample.tokens, sample.mask,
                                                advantages)
             metrics = {"rl_loss": loss, "reward": sample_r.mean(),
-                       "greedy_reward": greedy_r.mean()}
+                       "greedy_reward": greedy_r.mean(),
+                       # mean |advantage|: 0 iff the REINFORCE gradient is
+                       # identically zero (degenerate rewards) — surfaced so
+                       # callers can detect a signal-free SCST step
+                       "adv_abs": jnp.abs(advantages).mean()}
             return new_state, metrics
 
         self._scst_fused_step = jax.jit(scst_fused_step,

@@ -1,10 +1,14 @@
-"""Three-family CE→SCST quality evidence run on the real chip (VERDICT r2
-task 4; mirrors the reference's results table, /root/reference/README.md:13-16).
+"""Four-family CE→SCST quality evidence run on the real chip (VERDICT r2
+task 4 + r4 task 3; mirrors the reference's results table,
+/root/reference/README.md:13-16).
 
 For each BASELINE config family —
   #1 ResNet + LSTM + soft attention
   #3 ViT + Transformer + multi-head attention
   #4/#5 CLIP + GPT-2 + AoA (flagship)
+  #2-style BUTD: object-region encoder (pre-extracted detector npz
+      features, reference src/models/encoders.py:233-296 +
+      src/data/dataset.py:180-315) + Transformer + multi-head attention
 — this script runs the full production protocol on a synthetic COCO corpus
 (>= 1k train images): 10 CE epochs + 3 SCST epochs, with a mid-run
 checkpoint-resume (training stops after epoch 5 and restarts from the
@@ -103,6 +107,21 @@ def family_config(name, c):
         d.prefix_length = 4
         d.gpt2_n_positions = 128
         a.attention_type = AttentionType.AOA
+    elif name == "butd_objreg_mha":
+        # BUTD: pre-extracted detector features (synthetic npz, 36 regions
+        # max, 2048-d like the reference's Faster-R-CNN features) feed the
+        # object-region encoder; masked-memory Transformer decode
+        # (reference: src/models/encoders.py:233-296 +
+        # src/data/dataset.py:180-315)
+        e.encoder_type = EncoderType.OBJECT_REGION
+        e.max_objects = 36
+        e.region_feature_dim = 2048
+        e.feature_dim = 256
+        d.decoder_type = DecoderType.TRANSFORMER
+        d.hidden_dim = 256
+        d.num_layers = 4
+        d.num_heads = 4
+        a.attention_type = AttentionType.MULTI_HEAD
     else:
         raise ValueError(name)
     d.max_length = 24
@@ -164,12 +183,24 @@ def main():
     from image_captioning_ml_project_tpu.data.tokenizer import WordVocab
 
     families = sys.argv[1:] or ["resnet_lstm_soft", "vit_transformer_mha",
-                                "clip_gpt2_aoa"]
+                                "clip_gpt2_aoa", "butd_objreg_mha"]
     root = tempfile.mkdtemp(prefix="evidence_coco_")
     make_synthetic_coco(root, num_images=1024, captions_per_image=3,
                         image_size=64, splits=["train"], seed=0)
     make_synthetic_coco(root, num_images=128, captions_per_image=3,
                         image_size=64, splits=["val"], seed=1)
+    if any(f.startswith("butd") for f in families):
+        from image_captioning_ml_project_tpu.data.synthetic import (
+            make_synthetic_object_features)
+
+        feats = os.path.join(root, "features")
+        for split in ("train", "val"):
+            make_synthetic_object_features(
+                feats,
+                os.path.join(root, "annotations",
+                             f"captions_{split}2014.json"),
+                max_objects=36, feature_dim=2048,
+                seed=2 if split == "train" else 3)
     with open(os.path.join(root, "annotations",
                            "captions_train2014.json")) as f:
         ann = json.load(f)
