@@ -398,10 +398,40 @@ class TransformerDecoderLayer(nn.Module):
         K = Bk // B
 
         if kernel == "pallas":
-            out, k_cache, v_cache = fused_beam_decode_attention(
-                q, k_new, v_new, k_cache, v_cache, None, None, anc_local,
-                pos, num_heads=nh, beam_size=K, scale=scale)
-            y = sa.out_proj(out)[:, None, :]
+            from ..models.gpt2 import _fold_qkv_enabled
+            from ..ops.pallas_decode import (fused_beam_decode_attention_qkv,
+                                             fused_decode_qkv_supported)
+
+            H = self.hidden_dim
+            if _fold_qkv_enabled() and (
+                    jax.default_backend() != "tpu"
+                    or fused_decode_qkv_supported(S, H, k_cache.dtype, K)):
+                # folded fast path (see GPT2Attention.cached_step): the
+                # three separate projections concatenate into one [H, 3H]
+                # weight — bit-identical (each output column contracts
+                # only its own weight column) and loop-invariant, so XLA
+                # hoists the concat out of the decode scan
+                qp = sa.q_proj.variables["params"]
+                kp = sa.k_proj.variables["params"]
+                vp = sa.v_proj.variables["params"]
+                op = sa.out_proj.variables["params"]
+                wqkv = jnp.concatenate(
+                    [qp["kernel"], kp["kernel"], vp["kernel"]],
+                    axis=1).astype(self.dtype)
+                bqkv = jnp.concatenate(
+                    [qp["bias"], kp["bias"], vp["bias"]]).astype(self.dtype)
+                out, k_cache, v_cache = fused_beam_decode_attention_qkv(
+                    xf.astype(self.dtype), wqkv, bqkv,
+                    op["kernel"].astype(self.dtype),
+                    op["bias"].astype(self.dtype),
+                    k_cache, v_cache, None, None, anc_local, pos,
+                    num_heads=nh, beam_size=K, scale=scale)
+                y = out[:, None, :]
+            else:
+                out, k_cache, v_cache = fused_beam_decode_attention(
+                    q, k_new, v_new, k_cache, v_cache, None, None,
+                    anc_local, pos, num_heads=nh, beam_size=K, scale=scale)
+                y = sa.out_proj(out)[:, None, :]
         else:
             qh = q.reshape(Bk, 1, nh, hd)
             kh_new = k_new.reshape(Bk, 1, nh, hd)

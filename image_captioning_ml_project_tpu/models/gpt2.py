@@ -31,7 +31,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import DecoderConfig
-from ..ops.pallas_decode import fused_beam_decode_attention
+from ..ops.pallas_decode import (fused_beam_decode_attention,
+                                 fused_beam_decode_attention_qkv,
+                                 fused_decode_qkv_supported)
+
+
+def _fold_qkv_enabled() -> bool:
+    """Experiment knob: ICT_DECODE_FOLD=0 reverts the pallas decode path
+    to the split formulation (XLA-side QKV/out-proj matmuls around the
+    attention kernel) for A/B runs; default is the folded kernel."""
+    import os
+
+    return os.environ.get("ICT_DECODE_FOLD", "1") != "0"
 
 _NEG_INF = -1e9
 
@@ -104,8 +115,6 @@ class GPT2Attention(nn.Module):
           decode): gather-free one-hot candidate select + write-last DUS.
         """
         xf = x[:, 0, :]
-        qkv = self.c_attn(xf)                           # [Bk, 3H]
-        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)    # [Bk, H] each
         nh = self.num_heads
         H = self.hidden_dim
         hd = H // nh
@@ -115,10 +124,38 @@ class GPT2Attention(nn.Module):
 
         if kernel == "pallas" and prefix_k is not None:
             K = Bk // prefix_k.shape[0]
+            # interpret mode (CPU tests) has no VMEM/lane-tiling limits, so
+            # the folded path engages there regardless of width — the
+            # pallas-vs-xla parity tests then cover it by default
+            if _fold_qkv_enabled() and (
+                    jax.default_backend() != "tpu"
+                    or fused_decode_qkv_supported(S, H, k_cache.dtype, K)):
+                # folded fast path: QKV projection + attention + output
+                # projection in ONE Pallas call per layer (bit-identical
+                # to the split path below — +3.2 ms/decode measured,
+                # scripts/bench_fused_qkv.py). Weights are read straight
+                # off the bound submodules and cast exactly as nn.Dense's
+                # promote_dtype would.
+                ap = self.c_attn.variables["params"]
+                pp = self.c_proj.variables["params"]
+                out, k_cache, v_cache = fused_beam_decode_attention_qkv(
+                    xf.astype(self.dtype),
+                    ap["kernel"].astype(self.dtype),
+                    ap["bias"].astype(self.dtype),
+                    pp["kernel"].astype(self.dtype),
+                    pp["bias"].astype(self.dtype),
+                    k_cache, v_cache, prefix_k, prefix_v,
+                    anc_local, pos, num_heads=nh, beam_size=K, scale=scale)
+                return out[:, None, :], k_cache, v_cache
+            qkv = self.c_attn(xf)                         # [Bk, 3H]
+            q, k_new, v_new = jnp.split(qkv, 3, axis=-1)  # [Bk, H] each
             out, k_cache, v_cache = fused_beam_decode_attention(
                 q, k_new, v_new, k_cache, v_cache, prefix_k, prefix_v,
                 anc_local, pos, num_heads=nh, beam_size=K, scale=scale)
             return self.c_proj(out)[:, None, :], k_cache, v_cache
+
+        qkv = self.c_attn(xf)                           # [Bk, 3H]
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)    # [Bk, H] each
 
         qh = q.reshape(Bk, 1, nh, hd)
         kh_new = k_new.reshape(Bk, 1, nh, hd)

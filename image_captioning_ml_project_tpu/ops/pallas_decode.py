@@ -97,13 +97,10 @@ def resolve_decode_kernel(mode: str, *, cache_len: Optional[int] = None,
     return mode
 
 
-def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
-            kc_in, vc_in,
-            out_ref, kc_out, vc_out,
-            kvm, vvm, sems,
-            *, K: int, NH: int, S: int, P: int, H: int,
+def _kernel(pos_ref, *refs,
+            K: int, NH: int, S: int, P: int, H: int,
             G: int, R: int, scale: float, precise: bool = True,
-            has_prefix: bool = True):
+            has_prefix: bool = True, folded: bool = False):
     """One grid cell: G images x K beams = R rows of the decode step.
 
     pos_ref   [1]            SMEM (scalar prefetch): suffix write position
@@ -119,7 +116,27 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     kvm/vvm   [2, R, S, H]   double-buffered VMEM scratch: cell i computes
                              from slot i%2 while cell i+1's cache rows
                              stream into the other slot
+
+    ``folded=True`` replaces the q/k_new/v_new inputs with the layer's
+    pre-projection activations plus its QKV and output-projection weights
+    (x_ref [R, H], wqkv_ref [H, 3H], bqkv_ref [1, 3H], wo_ref [H, H],
+    bo_ref [1, H]): the projections run on the MXU *inside* the kernel,
+    so one decode layer is ONE Pallas call with no XLA compute on the
+    critical path between consecutive layer calls — and the cache-load
+    DMA overlaps the in-kernel QKV matmul instead of waiting behind an
+    XLA boundary. Measured (scripts/bench_fused_qkv.py, v5e): 30.93 ->
+    27.72 ms on the 19-step x 12-layer scan, bit-identical outputs; the
+    alternative attribution (per-pallas_call launch overhead) was
+    refuted by a minimal-kernel A/B (1.3 us/call, not ~60 us).
     """
+    if folded:
+        (x_ref, anc_ref, pk_ref, pv_ref, wqkv_ref, bqkv_ref, wo_ref,
+         bo_ref, kc_in, vc_in, out_ref, kc_out, vc_out,
+         kvm, vvm, sems) = refs
+    else:
+        (q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
+         kc_in, vc_in, out_ref, kc_out, vc_out,
+         kvm, vvm, sems) = refs
     cell = pl.program_id(0)
     ncells = pl.num_programs(0)
     row0 = cell * R
@@ -133,6 +150,10 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
         pltpu.make_async_copy(
             vc_in.at[pl.ds(r0, R)], vvm.at[sl], sems.at[sl, 1]).start()
 
+    # folded: the cache load does not depend on the QKV matmul — start it
+    # FIRST so the DMA rides under the MXU dot (in the split formulation
+    # the load can only start once XLA has finished the projection and
+    # entered the custom call)
     @pl.when(cell == 0)
     def _():
         start_load(0, 0)
@@ -142,15 +163,34 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     load_v = pltpu.make_async_copy(
         vc_in.at[pl.ds(row0, R)], vvm.at[slot], sems.at[slot, 1])
 
-    dt = q_ref.dtype
     # precise=True: f32 score products — products of two bf16 values are
     # exact in f32, matching the XLA path's MXU bf16-in/f32-accumulate
     # einsums bit-for-bit. precise=False: bf16 products (each product
     # rounded to bf16 before the f32-accumulating dot) — ~2x less VPU
     # traffic, relative score error <= 2^-8.
-    sdt = jnp.float32 if precise else dt
-    q = q_ref[:].astype(sdt)                       # [R, H]
-    knew = knew_ref[:, 0, :]                       # [R, H]
+    if folded:
+        dt = x_ref.dtype
+        sdt = jnp.float32 if precise else dt
+        # ---- in-kernel QKV projection (MXU) ----
+        # numerics match nn.Dense exactly: the f32-accumulated dot is
+        # rounded to the module dtype, THEN the (dtype) bias is added —
+        # a single rounding either way, bit-identical to XLA's dot + add
+        qkv = jax.lax.dot_general(
+            x_ref[:], wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [R, 3H] f32
+        qkv = qkv.astype(dt) + bqkv_ref[:]                  # [R, 3H] dt
+        q = qkv[:, :H].astype(sdt)                          # [R, H]
+        knew = qkv[:, H:2 * H]                              # [R, H] dt
+        knew3 = knew[:, None, :]                            # [R, 1, H]
+        vnew3 = qkv[:, None, 2 * H:]                        # [R, 1, H]
+    else:
+        dt = q_ref.dtype
+        sdt = jnp.float32 if precise else dt
+        q = q_ref[:].astype(sdt)                   # [R, H]
+        knew = knew_ref[:, 0, :]                   # [R, H]
+        knew3 = knew_ref[:]
+        vnew3 = vnew_ref[:]
 
     # Block-diagonal head mask: hmask[d, n] = 1 iff lane d belongs to head n.
     # Per-head reductions become MXU dots against it — no lane slicing.
@@ -269,8 +309,16 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
         axis=1)
 
     acc = acc + jnp.sum(
-        expand(w[:, S + Pe:]) * vnew_ref[:].astype(jnp.float32), axis=1)
-    out_ref[:] = acc.astype(out_ref.dtype)
+        expand(w[:, S + Pe:]) * vnew3.astype(jnp.float32), axis=1)
+    if folded:
+        # ---- in-kernel output projection (MXU), nn.Dense numerics ----
+        out = jax.lax.dot_general(
+            acc.astype(dt), wo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = (out.astype(dt) + bo_ref[:]).astype(out_ref.dtype)
+    else:
+        out_ref[:] = acc.astype(out_ref.dtype)
 
     # --- append this step's K/V in place ---------------------------------
     # Mosaic DMA slices on the (tiled) position axis must be 8-aligned, so
@@ -281,9 +329,9 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, anc_ref, pk_ref, pv_ref,
     ids = jax.lax.broadcasted_iota(jnp.int32, (R, 8, H), 1)
     at_pos = ids == pos - pos0
     kvm[slot, :, pl.ds(pos0, 8), :] = jnp.where(
-        at_pos, knew_ref[:], kvm[slot, :, pl.ds(pos0, 8), :])
+        at_pos, knew3, kvm[slot, :, pl.ds(pos0, 8), :])
     vvm[slot, :, pl.ds(pos0, 8), :] = jnp.where(
-        at_pos, vnew_ref[:], vvm[slot, :, pl.ds(pos0, 8), :])
+        at_pos, vnew3, vvm[slot, :, pl.ds(pos0, 8), :])
     put_k = pltpu.make_async_copy(
         kvm.at[slot, :, pl.ds(pos0, 8), :],
         kc_out.at[pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[slot, 2])
@@ -534,6 +582,185 @@ def _fused_exec(pos_arr, q, k_new3, v_new3, anc, prefix_k, prefix_v,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(pos_arr, q, k_new3, v_new3, anc, prefix_k, prefix_v,
+      k_cache, v_cache)
+    return out, k_cache, v_cache
+
+
+# Total VMEM envelope for the folded variant: double-buffered K/V scratch
+# PLUS the (possibly double-buffered) weight blocks must fit the ~16 MiB
+# core VMEM. The flagship shape (H=768, S=24, R=40: 5.9 MiB scratch +
+# 9.4 MiB weights) compiles and is the measured-fastest configuration.
+_FOLDED_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def fused_decode_qkv_supported(cache_len: int, width: int,
+                               dtype=jnp.bfloat16,
+                               beam_size: int = 1) -> bool:
+    """Whether the folded (in-kernel QKV/out-projection) decode kernel fits:
+    the base kernel's Mosaic constraints, plus one image's beam block of
+    double-buffered scratch AND two buffers of the [H, 3H] + [H, H] weight
+    blocks inside the VMEM envelope."""
+    itemsize = jnp.dtype(dtype).itemsize
+    weight_bytes = 4 * width * width * itemsize      # wqkv (3H^2) + wo (H^2)
+    return (fused_decode_supported(cache_len, width, dtype, beam_size)
+            and beam_size * 4 * cache_len * width * itemsize
+            + 2 * weight_bytes <= _FOLDED_VMEM_BUDGET)
+
+
+def fused_beam_decode_attention_qkv(
+        x: jnp.ndarray, wqkv: jnp.ndarray, bqkv: jnp.ndarray,
+        wo: jnp.ndarray, bo: jnp.ndarray,
+        k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+        prefix_k: Optional[jnp.ndarray], prefix_v: Optional[jnp.ndarray],
+        anc_local: Optional[jnp.ndarray], pos: jnp.ndarray,
+        *, num_heads: int, beam_size: int, scale: float,
+        block_images: Optional[int] = None,
+        precise: Optional[bool] = None,
+        interpret: Optional[bool] = None,
+        mesh=None, data_axis: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fully-folded decode-attention layer step: in-kernel QKV
+    projection (x [Bk, H] x wqkv [H, 3H] + bqkv), the fused beam attention
+    of :func:`fused_beam_decode_attention`, and the in-kernel output
+    projection (wo [H, H] + bo) — ONE Pallas call per layer, no XLA
+    compute on the critical path between consecutive layer calls.
+
+    Numerics are bit-identical to ``nn.Dense(3H)(x)`` -> split kernel ->
+    ``nn.Dense(H)(out)`` (tests/test_pallas_decode.py; measured 0.0 abs
+    diff on the v5e chip, scripts/bench_fused_qkv.py). Returns
+    (projected_out [Bk, H], k_cache, v_cache) with the caches aliased to
+    the inputs, same contract as the split kernel."""
+    Bk, H = x.shape
+    S = k_cache.shape[1]
+    K = beam_size
+    B = Bk // K
+    has_prefix = prefix_k is not None
+    if not has_prefix:
+        prefix_k = jnp.zeros((B, 1, H), dtype=k_cache.dtype)
+        prefix_v = prefix_k
+    if S % 8:
+        raise ValueError(f"cache position axis must be 8-aligned, got {S}")
+    if precise is None:
+        import os as _os
+
+        precise = _os.environ.get("ICT_DECODE_PRECISE", "1") != "0"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if H % 128 and not interpret:
+        raise ValueError(
+            f"folded decode kernel needs a 128-lane-aligned feature axis, "
+            f"got width {H}. Use the split kernel or decode_kernel='xla'.")
+
+    if anc_local is None:
+        anc = jnp.zeros((Bk, S, 1), dtype=jnp.int32)
+    else:
+        anc = anc_local.astype(jnp.int32)[:, :, None]
+
+    exec_fn = functools.partial(
+        _folded_exec, K=K, NH=num_heads, scale=scale, precise=precise,
+        has_prefix=has_prefix, block_images=block_images,
+        interpret=interpret)
+    pos_arr = jnp.asarray(pos, dtype=jnp.int32).reshape(1)
+    operands = (pos_arr, x, anc, prefix_k, prefix_v,
+                wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1),
+                k_cache, v_cache)
+
+    # weights (operands 5-8) are replicated across the data mesh, like pos
+    return shard_data_parallel(exec_fn, operands, batch=B,
+                               what="folded fused decode",
+                               replicated=(0, 5, 6, 7, 8),
+                               mesh=mesh, data_axis=data_axis)
+
+
+def _folded_exec(pos_arr, x, anc, prefix_k, prefix_v, wqkv, bqkv, wo, bo,
+                 k_cache, v_cache, *, K: int, NH: int, scale: float,
+                 precise: bool, has_prefix: bool,
+                 block_images: Optional[int], interpret: bool):
+    """Shard-local folded kernel launch (see ``_fused_exec``): grid and
+    VMEM geometry derive from the shard-local shapes, with the weight
+    blocks' footprint subtracted from the scratch budget."""
+    Bk, H = x.shape
+    S = k_cache.shape[1]
+    P = prefix_k.shape[1]
+    B = Bk // K
+
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    scratch_bytes_per_row = 4 * S * H * itemsize
+    weight_bytes = 4 * H * H * itemsize
+    if block_images is None:
+        avail = _FOLDED_VMEM_BUDGET - 2 * weight_bytes
+        rows_fit = max(1, avail // scratch_bytes_per_row)
+        block_images = max(1, min(40, rows_fit) // K)
+    G = min(block_images, B)
+    while B % G:
+        G -= 1
+    R = G * K
+    if R * scratch_bytes_per_row + 2 * weight_bytes > _FOLDED_VMEM_BUDGET:
+        raise ValueError(
+            f"folded decode kernel cannot fit the beam block + weights in "
+            f"VMEM: {R * scratch_bytes_per_row / 2**20:.1f} MiB scratch "
+            f"(R={R} x S={S} x H={H}) + "
+            f"{2 * weight_bytes / 2**20:.1f} MiB weight blocks against a "
+            f"{_FOLDED_VMEM_BUDGET / 2**20:.0f} MiB budget. Use the split "
+            f"kernel (fused_beam_decode_attention) or decode_kernel='xla'.")
+
+    kernel = functools.partial(
+        _kernel, K=K, NH=NH, S=S, P=P, H=H, G=G, R=R, scale=scale,
+        precise=precise, has_prefix=has_prefix, folded=True)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((R, H), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # x
+            pl.BlockSpec((R, S, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # anc
+            pl.BlockSpec((G, P, H), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # prefix_k
+            pl.BlockSpec((G, P, H), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # prefix_v
+            # constant index maps: Mosaic's pipeline loads the weight
+            # blocks once per call and skips the re-fetch on later cells
+            pl.BlockSpec((H, 3 * H), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # wqkv
+            pl.BlockSpec((1, 3 * H), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # bqkv
+            pl.BlockSpec((H, H), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # wo
+            pl.BlockSpec((1, H), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # bo
+            pl.BlockSpec(memory_space=pl.ANY),           # k_cache
+            pl.BlockSpec(memory_space=pl.ANY),           # v_cache
+        ],
+        out_specs=[
+            pl.BlockSpec((R, H), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # out
+            pl.BlockSpec(memory_space=pl.ANY),           # k_cache (alias)
+            pl.BlockSpec(memory_space=pl.ANY),           # v_cache (alias)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, R, S, H), k_cache.dtype),
+            pltpu.VMEM((2, R, S, H), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+
+    out, k_cache, v_cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bk, H), x.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # with the scalar-prefetch operand first:
+        # 0=pos, 1=x, 2=anc, 3=pk, 4=pv, 5=wqkv, 6=bqkv, 7=wo, 8=bo,
+        # 9=kc, 10=vc
+        input_output_aliases={9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pos_arr, x, anc, prefix_k, prefix_v, wqkv, bqkv, wo, bo,
       k_cache, v_cache)
     return out, k_cache, v_cache
 
