@@ -180,10 +180,14 @@ def _kernel(pos_ref, *refs,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # [R, 3H] f32
         qkv = qkv.astype(dt) + bqkv_ref[:]                  # [R, 3H] dt
+        # NB: slice BEFORE adding the axis — `qkv[:, None, 2*H:]` (newaxis
+        # mixed with a bounded slice) leaves JAX's basic-indexing fast path
+        # and lowers to a gather, which Mosaic cannot lower (interpret mode
+        # never sees Mosaic, so only a real-TPU compile catches it)
         q = qkv[:, :H].astype(sdt)                          # [R, H]
         knew = qkv[:, H:2 * H]                              # [R, H] dt
-        knew3 = knew[:, None, :]                            # [R, 1, H]
-        vnew3 = qkv[:, None, 2 * H:]                        # [R, 1, H]
+        knew3 = knew.reshape(R, 1, H)                       # [R, 1, H]
+        vnew3 = qkv[:, 2 * H:].reshape(R, 1, H)             # [R, 1, H]
     else:
         dt = q_ref.dtype
         sdt = jnp.float32 if precise else dt
@@ -587,24 +591,51 @@ def _fused_exec(pos_arr, q, k_new3, v_new3, anc, prefix_k, prefix_v,
 
 
 # Total VMEM envelope for the folded variant: double-buffered K/V scratch
-# PLUS the (possibly double-buffered) weight blocks must fit the ~16 MiB
-# core VMEM. The flagship shape (H=768, S=24, R=40: 5.9 MiB scratch +
-# 9.4 MiB weights) compiles and is the measured-fastest configuration.
-_FOLDED_VMEM_BUDGET = 16 * 1024 * 1024
+# PLUS the double-buffered weight/pipeline blocks. XLA's default *scoped*
+# vmem limit is 16 MiB, but that is a compiler allowance, not the
+# hardware: the v5e core has >96 MiB of physical VMEM (probed empirically
+# — a 96 MiB scratch kernel compiles and runs), so the folded call raises
+# ``vmem_limit_bytes`` to this budget + margin. 24 MiB keeps the
+# measured-fastest flagship geometry (H=768, S=24, R=40 ≈ 16.6 MiB total
+# once the lane-padded anc block and prefix blocks are counted) while
+# leaving XLA most of VMEM for the surrounding program.
+_FOLDED_VMEM_BUDGET = 24 * 1024 * 1024
+_FOLDED_VMEM_MARGIN = 2 * 1024 * 1024  # Mosaic internal scratch, semaphores
+
+
+def _folded_vmem_bytes(rows: int, images: int, S: int, H: int, P: int,
+                       itemsize: int) -> Tuple[int, int]:
+    """(fixed, per-call-variable) VMEM footprint of the folded kernel, in
+    bytes, counting EVERYTHING Mosaic allocates — not just the explicit
+    scratch. The double-buffered pipeline blocks matter: the int32 anc
+    block is lane-padded 1 -> 128 (~0.94 MiB at R=40/S=24 alone); biases
+    are sublane-padded 1 -> 8. Under-counting these is exactly how the
+    first on-chip compile blew the scoped limit by 336 KiB."""
+    P8 = -(-P // 8) * 8
+    fixed = (8 * H * H * itemsize       # wqkv [H,3H] + wo [H,H], 2-buffered
+             + 64 * H * itemsize)       # bqkv + bo, sublane-padded, 2-buf
+    variable = (rows * (4 * S * H * itemsize   # K/V scratch [2,R,S,H] x2
+                        + 4 * H * itemsize     # x + out blocks, 2-buffered
+                        + 2 * S * 128 * 4)     # anc [R,S,1->128 lanes] int32
+                + images * 4 * P8 * H * itemsize)  # prefix k+v, 2-buffered
+    return fixed, variable
 
 
 def fused_decode_qkv_supported(cache_len: int, width: int,
                                dtype=jnp.bfloat16,
-                               beam_size: int = 1) -> bool:
+                               beam_size: int = 1,
+                               prefix_len: int = 64) -> bool:
     """Whether the folded (in-kernel QKV/out-projection) decode kernel fits:
-    the base kernel's Mosaic constraints, plus one image's beam block of
-    double-buffered scratch AND two buffers of the [H, 3H] + [H, H] weight
-    blocks inside the VMEM envelope."""
+    the base kernel's Mosaic constraints, plus at least ONE image's beam
+    block of double-buffered scratch/pipeline blocks AND the [H, 3H] +
+    [H, H] weight blocks inside the (raised) VMEM envelope.
+    ``prefix_len`` is a conservative default upper bound for callers that
+    gate before the prefix length is known."""
     itemsize = jnp.dtype(dtype).itemsize
-    weight_bytes = 4 * width * width * itemsize      # wqkv (3H^2) + wo (H^2)
+    fixed, variable = _folded_vmem_bytes(
+        beam_size, 1, cache_len, width, prefix_len, itemsize)
     return (fused_decode_supported(cache_len, width, dtype, beam_size)
-            and beam_size * 4 * cache_len * width * itemsize
-            + 2 * weight_bytes <= _FOLDED_VMEM_BUDGET)
+            and fixed + variable <= _FOLDED_VMEM_BUDGET)
 
 
 def fused_beam_decode_attention_qkv(
@@ -685,22 +716,24 @@ def _folded_exec(pos_arr, x, anc, prefix_k, prefix_v, wqkv, bqkv, wo, bo,
     B = Bk // K
 
     itemsize = jnp.dtype(k_cache.dtype).itemsize
-    scratch_bytes_per_row = 4 * S * H * itemsize
-    weight_bytes = 4 * H * H * itemsize
     if block_images is None:
-        avail = _FOLDED_VMEM_BUDGET - 2 * weight_bytes
-        rows_fit = max(1, avail // scratch_bytes_per_row)
+        fixed, per_beamrow = _folded_vmem_bytes(1, 0, S, H, P, itemsize)
+        per_image = K * per_beamrow + _folded_vmem_bytes(
+            0, 1, S, H, P, itemsize)[1]
+        avail = _FOLDED_VMEM_BUDGET - fixed
+        rows_fit = max(1, (avail // per_image) * K)
         block_images = max(1, min(40, rows_fit) // K)
     G = min(block_images, B)
     while B % G:
         G -= 1
     R = G * K
-    if R * scratch_bytes_per_row + 2 * weight_bytes > _FOLDED_VMEM_BUDGET:
+    fixed, variable = _folded_vmem_bytes(R, G, S, H, P, itemsize)
+    if fixed + variable > _FOLDED_VMEM_BUDGET:
         raise ValueError(
             f"folded decode kernel cannot fit the beam block + weights in "
-            f"VMEM: {R * scratch_bytes_per_row / 2**20:.1f} MiB scratch "
-            f"(R={R} x S={S} x H={H}) + "
-            f"{2 * weight_bytes / 2**20:.1f} MiB weight blocks against a "
+            f"VMEM: {variable / 2**20:.1f} MiB scratch/pipeline blocks "
+            f"(R={R} x S={S} x H={H}, P={P}) + "
+            f"{fixed / 2**20:.1f} MiB weight blocks against a "
             f"{_FOLDED_VMEM_BUDGET / 2**20:.0f} MiB budget. Use the split "
             f"kernel (fused_beam_decode_attention) or decode_kernel='xla'.")
 
@@ -758,7 +791,12 @@ def _folded_exec(pos_arr, x, anc, prefix_k, prefix_v, wqkv, bqkv, wo, bo,
         # 0=pos, 1=x, 2=anc, 3=pk, 4=pv, 5=wqkv, 6=bqkv, 7=wo, 8=bo,
         # 9=kc, 10=vc
         input_output_aliases={9: 1, 10: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # XLA's default scoped-vmem allowance is 16 MiB; the chip has
+        # >96 MiB physical (probed). Raise the scope so the weight blocks
+        # ride alongside the full-width beam scratch.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_FOLDED_VMEM_BUDGET + _FOLDED_VMEM_MARGIN),
         interpret=interpret,
     )(pos_arr, x, anc, prefix_k, prefix_v, wqkv, bqkv, wo, bo,
       k_cache, v_cache)
