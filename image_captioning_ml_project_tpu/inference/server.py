@@ -327,10 +327,14 @@ class CaptionService:
         swap of the pre-cast eval state is atomic, so in-flight batches
         finish on the old weights and the next dispatch reads the new ones.
         Shapes are unchanged (same model config), so the jitted decode
-        program is reused — no recompile stall.
+        program is reused — no recompile stall. Only the weights are
+        restored (``load_weights``): the optimizer moments are ~2/3 of an
+        AdamW checkpoint's bytes and serving never reads them — measured
+        33.7 s -> 17.7 s swap under load on the tunnel-attached host
+        (docs/serving.md §Soak).
         """
         t0 = time.monotonic()
-        self.trainer.load_checkpoint(name)
+        self.trainer.load_weights(name)
         self._estate = self.trainer.eval_state()
         dt = time.monotonic() - t0
         logger.info("Reloaded checkpoint %r in %.1fs", name, dt)

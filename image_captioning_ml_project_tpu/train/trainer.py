@@ -960,3 +960,23 @@ class CaptioningTrainer:
         self.start_phase = "ce"
         self.logger.info("Loaded checkpoint '%s' (epoch %d, best %.4f)",
                          name, self.start_epoch, self.best_val_score)
+
+    def load_weights(self, name: str = "best_model"):
+        """Restore params + batch_stats ONLY (optimizer state untouched).
+
+        For inference-side swaps — the serving /reload endpoint — the
+        optimizer moments are dead weight: ~2/3 of an AdamW checkpoint's
+        bytes. Not for resuming training (use :meth:`load_checkpoint`,
+        which restores the full tree and the epoch/batch cursor)."""
+        target = {"params": self.state.params}
+        if jax.tree_util.tree_leaves(self.state.batch_stats):
+            target["batch_stats"] = self.state.batch_stats  # ResNet BN only
+        restored, meta, _ = self.ckpt.restore_partial(name, target)
+        self.state = TrainState(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", self.state.batch_stats),
+            opt_state=self.state.opt_state,
+            step=self.state.step)
+        self.best_val_score = meta.get("best_val_score", 0.0)
+        self.logger.info("Loaded weights from '%s' (best %.4f)",
+                         name, self.best_val_score)

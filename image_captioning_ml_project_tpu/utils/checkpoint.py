@@ -144,6 +144,30 @@ class CheckpointManager:
                 side = json.load(f)
         return state, side.get("metadata", {}), side.get("config")
 
+    def restore_partial(self, name: str, target: Dict[str, Any]):
+        """Restore only the subtrees present in ``target`` from a full
+        checkpoint tree (same on-disk format as :meth:`restore`).
+
+        A serving hot swap needs the params (and batch_stats), not the
+        optimizer state — which is ~2/3 of the bytes for Adam-family
+        optimizers. On a tunnel-attached host this is the difference
+        between a ~35 s and a ~11 s reload stall (measured, see
+        docs/serving.md §Soak)."""
+        self._ckptr.wait_until_finished()
+        path = self._path(self._resolve(name))
+        ckr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        try:
+            state = ckr.restore(path, args=ocp.args.PyTreeRestore(
+                item=target, partial_restore=True))
+        finally:
+            ckr.close()
+        meta_path = path + ".meta.json"
+        side = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                side = json.load(f)
+        return state, side.get("metadata", {}), side.get("config")
+
     def exists(self, name: str) -> bool:
         self._ckptr.wait_until_finished()
         return os.path.exists(self._path(self._resolve(name)))

@@ -620,6 +620,39 @@ def test_step_checkpoint_two_slot_durability(setup, tmp_path):
     _all_params_equal(a.state.params, b.state.params)
 
 
+def test_load_weights_params_only(setup, tmp_path):
+    """``load_weights`` (the serving /reload path) restores params from a
+    full checkpoint WITHOUT touching the optimizer state — the moments
+    are ~2/3 of an AdamW checkpoint's bytes and serving never reads
+    them. The params must be bit-identical to a full ``load_checkpoint``
+    restore; opt_state and step must keep the live trainer's values."""
+    cfg, vocab, train_ds, val_ds = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.checkpoint_dir = str(tmp_path / "ckpt")
+    a = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    a.train()
+    a.save_checkpoint(0, is_best=True)
+    a.ckpt.wait_until_finished()
+
+    b = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    opt_before = jax.tree_util.tree_leaves(b.state.opt_state)
+    step_before = int(b.state.step)
+    b.load_weights("best_model")
+    _all_params_equal(a.state.params, b.state.params)
+    assert b.best_val_score == a.best_val_score
+    # optimizer state and step untouched (fresh-trainer values, not the
+    # checkpoint's trained moments/step)
+    for x, y in zip(opt_before, jax.tree_util.tree_leaves(b.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(b.state.step) == step_before != int(a.state.step)
+
+    c = CaptioningTrainer(cfg2, train_ds, val_ds, vocab)
+    c.load_checkpoint("best_model")
+    _all_params_equal(c.state.params, b.state.params)
+
+
 def test_validation_with_reranker(setup):
     """With a reranker injected, `_validate_epoch` decodes
     inference.num_candidates beam candidates per image and scores the
