@@ -141,6 +141,7 @@ def test_device_cider_under_jit(rng):
     assert out[0] > 0
 
 
+@pytest.mark.slow
 def test_fuzz_device_cider_matches_host():
     """Seeded fuzz: random corpora (vocab sizes, ref counts, lengths,
     duplicate candidates, empty-after-strip candidates) — device CIDEr-D

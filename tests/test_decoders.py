@@ -253,6 +253,7 @@ def test_transformer_generate_greedy(transformer_setup):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_gpt2_backbone_matches_hf(rng):
     from transformers import GPT2Config, GPT2LMHeadModel
 

@@ -233,6 +233,7 @@ def test_diverse_beam_groups_differ():
     assert np.asarray(res1.tokens).shape == (1, 4, 6)
 
 
+@pytest.mark.slow
 def test_beam_early_exit_token_identical(rng):
     """The while_loop early exit (all batches stopped -> skip the dead
     tail of steps) returns exactly the scan path's tokens AND scores, on
@@ -289,6 +290,7 @@ def test_greedy_early_exit_token_identical(rng):
             np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
 
 
+@pytest.mark.slow
 def test_sample_early_exit_identical(rng):
     """sample_decode's early exit returns the exact tokens/logprobs/mask of
     the scan path (each step consumes its own pre-split rng, so skipping
@@ -515,6 +517,7 @@ def test_fuzz_beam_matches_brute_force():
             err_msg=f"trial {trial} L={L} lp={lp} ml={ml}")
 
 
+@pytest.mark.slow
 def test_fuzz_top_p_filter_matches_hf_warper():
     """Nucleus filtering parity with HF's TopPLogitsWarper on random
     logits: the kept-token sets must be identical (the boundary rule —

@@ -35,6 +35,7 @@ def _nhwc(images_nchw):
 IMG = 32
 
 
+@pytest.mark.slow
 def test_resnet_backbone_matches_hf(rng):
     from transformers import ResNetConfig, ResNetModel
 
@@ -147,6 +148,7 @@ def test_clip_backbone_matches_hf(rng):
     IMG,  # patch grid divisible by the window
     40,   # grid 10: window-pad to 12 (HF maybe_pad), then odd-res merge
 ])
+@pytest.mark.slow
 def test_swin_backbone_matches_hf(rng, img):
     from transformers import SwinConfig, SwinModel
 

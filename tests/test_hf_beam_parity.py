@@ -39,6 +39,11 @@ import numpy as np
 import pytest
 import torch
 
+# whole-file golden-parity heavyweight (9 parameterizations x HF generate
+# on torch CPU); the fast gate keeps beam correctness via the brute-force
+# oracle + fused-candidate parity in test_decoding.py
+pytestmark = pytest.mark.slow
+
 jnp = jax.numpy
 
 from image_captioning_ml_project_tpu.config import DecoderConfig, DecoderType

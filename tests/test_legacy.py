@@ -123,6 +123,7 @@ def test_masked_caption_ce():
     np.testing.assert_allclose(loss, np.log(V), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_legacy_trainer_runs_and_decays_lr(coco):
     root, vocab, train_ds, val_ds = coco
     trainer = LegacyTrainer(vocab, train_ds, val_ds, batch_size=6,
@@ -254,6 +255,7 @@ def _tiny_bert_embedder(vocab, hidden_size=768):
     return BertCaptionEmbedder(model=BertModel(cfg), tokenizer=tok)
 
 
+@pytest.mark.slow
 def test_legacy_trainer_dp_mesh_matches_single_device(coco, tmp_path):
     """Legacy stack under data parallelism: one epoch on the 8-device mesh
     produces the same parameters as the unsharded run (pure dp: replicated
@@ -302,6 +304,7 @@ def test_legacy_trainer_dp_mesh_matches_single_device(coco, tmp_path):
     t_mesh.train()
 
 
+@pytest.mark.slow
 def test_legacy_bert_train_and_validate(coco):
     """use_bert end-to-end: contextual embeddings feed teacher forcing,
     the static vocab table feeds generation inside validate()."""
@@ -348,6 +351,7 @@ def test_legacy_bert_train_and_validate(coco):
             method=lambda m, im, L: m.generate(im, L))
 
 
+@pytest.mark.slow
 def test_legacy_train_cli(coco, tmp_path):
     """Module CLI: python -m ...legacy.train (reference train.py script)."""
     root, vocab, _, _ = coco
@@ -396,6 +400,7 @@ def test_resize_token_embeddings():
     assert down["wte"]["embedding"].shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_fuzz_adaptive_pool_matches_torch():
     """Seeded fuzz vs torch.nn.AdaptiveAvgPool2d over random (H, W) ->
     output sizes, incl. non-divisible and upsampling cases (the reference

@@ -126,6 +126,7 @@ def test_transformer_cross_kernel_engages(wide_transformer, monkeypatch):
     assert calls, "fused cross-attention never dispatched on the pallas path"
 
 
+@pytest.mark.slow
 def test_transformer_step_cross_pallas_matches_xla(wide_transformer):
     build, variables, feats = wide_transformer
     dec_x = build("xla")

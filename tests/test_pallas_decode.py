@@ -262,6 +262,7 @@ def test_transformer_beam_pallas_matches_xla(tiny_transformer):
                                   _np(results["pallas"].tokens))
 
 
+@pytest.mark.slow
 def test_fuzz_kernel_matches_oracle():
     """Seeded fuzz over kernel-eligible shapes (interpret mode): random
     B/K/S/P/heads/width/position/ancestry draws must match the reference

@@ -160,6 +160,7 @@ def test_tp_sharded_checkpoint_roundtrip(tmp_path, rng):
     assert all(len(s.device_set) == 8 for s in specs)
 
 
+@pytest.mark.slow
 def test_dp8_beam_decode_pallas_kernel_token_identical(rng):
     """The fused Pallas decode kernel (interpreter on this CPU mesh; the
     same code Mosaic compiles on TPU) under a dp8-sharded batch must be

@@ -93,6 +93,7 @@ def test_load_image_square_jpeg(tmp_path, rng):
     assert not canvas[side:].any() and not canvas[:, side:].any()
 
 
+@pytest.mark.slow
 def test_evaluate_cli_with_device_resize(tmp_path):
     """evaluate() end-to-end with config.device_resize: canvases flow
     through _batch_inputs/_prepare_inputs, decode covers every image."""

@@ -340,6 +340,7 @@ def test_stop_fails_queued_requests():
     assert stats.snapshot()["latency_ms"]["p50"] is None
 
 
+@pytest.mark.slow
 def test_bucketed_decode_token_identity(served):
     """Bucketed batch shapes (VERDICT r3 task 5): a request served on the
     1- or 2-wide bucket must produce exactly the caption the full 8-wide

@@ -162,6 +162,7 @@ def test_rows_with_genuine_neg_inf_entries(rng, impl):
     assert int(np.asarray(idxs).max()) < N
 
 
+@pytest.mark.slow
 def test_fuzz_fused_beam_top_k(rng):
     """Seeded fuzz over shapes/blocks/dtypes/bias scales/tie densities:
     fused candidate selection must equal the materialized oracle on every

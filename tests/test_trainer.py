@@ -115,6 +115,7 @@ def test_validation_metrics(setup):
     assert "CIDEr" in metrics
 
 
+@pytest.mark.slow
 def test_no_retrace_across_batches(setup):
     """One compiled program per phase: a second epoch / validation pass
     must hit the jit cache, not retrace (a retrace on TPU is a multi-
@@ -156,6 +157,7 @@ def test_no_retrace_across_batches(setup):
     assert cap.records == [], cap.records
 
 
+@pytest.mark.slow
 def test_eval_state_precast_token_identical(setup):
     """utils/amp pre-cast equivalence on the real model path: under bf16
     AMP, decoding with ``eval_state()`` (f32 masters pre-cast to bf16
@@ -206,6 +208,7 @@ def test_eval_state_precast_token_identical(setup):
     assert float(l1) == float(l2) and float(n1) == float(n2)
 
 
+@pytest.mark.slow
 def test_encoder_remat_matches_exact(setup):
     """encoder.remat=True only changes the backward-pass schedule
     (rematerialized activations); one train step must produce numerically
@@ -393,6 +396,7 @@ def test_reward_dispatch_all_types(setup):
                                np.asarray(per_sample_cider(texts, refs)))
 
 
+@pytest.mark.slow
 def test_scst_runs_on_device_cider(setup):
     cfg, vocab, train_ds, val_ds = setup
     import copy
@@ -528,6 +532,7 @@ def _all_params_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_step_checkpoint_midepoch_resume_ce(setup, tmp_path):
     """Kill-at-step-k resume (config.save_every_steps): a fresh trainer
     restored from the rolling ``checkpoint_step`` continues the epoch with
@@ -556,6 +561,7 @@ def test_step_checkpoint_midepoch_resume_ce(setup, tmp_path):
     _all_params_equal(a.state.opt_state, b.state.opt_state)
 
 
+@pytest.mark.slow
 def test_step_checkpoint_midepoch_resume_scst(setup, tmp_path):
     """Same contract inside the SCST phase: the step checkpoint records
     phase="scst"; resume skips the already-done CE pass, replays the
@@ -581,6 +587,7 @@ def test_step_checkpoint_midepoch_resume_scst(setup, tmp_path):
     _all_params_equal(a.state.params, b.state.params)
 
 
+@pytest.mark.slow
 def test_step_checkpoint_two_slot_durability(setup, tmp_path):
     """The rolling step checkpoint alternates two physical slots so the
     newest committed save is never Orbax's ``force=True`` deletion
@@ -620,6 +627,7 @@ def test_step_checkpoint_two_slot_durability(setup, tmp_path):
     _all_params_equal(a.state.params, b.state.params)
 
 
+@pytest.mark.slow
 def test_load_weights_params_only(setup, tmp_path):
     """``load_weights`` (the serving /reload path) restores params from a
     full checkpoint WITHOUT touching the optimizer state — the moments
