@@ -50,15 +50,28 @@ def _tile_state(state, factor: int):
     """Repeat each batch row ``factor`` times (B -> B*factor); scalars and
     the ``shared`` subtree (per-image constants) are kept as-is. The
     ``lazy`` subtree (reorder-free caches) IS tiled — once, here — but is
-    never gathered afterwards."""
+    never gathered afterwards. ``lazy["stacked"]`` arrays are
+    layer-leading ([L, B, ...], the whole-stack fused decode's cache
+    layout) and tile on axis 1 instead."""
     state, shared = _split_keys(state, ("shared",))
 
-    def tile(x):
+    def tile(x, axis=0):
         if x.ndim == 0:
             return x
-        return jnp.repeat(x, factor, axis=0)
+        return jnp.repeat(x, factor, axis=axis)
 
-    return _merge_keys(jax.tree_util.tree_map(tile, state), shared)
+    stacked = None
+    if (isinstance(state, dict)
+            and isinstance(state.get("lazy"), dict)
+            and "stacked" in state["lazy"]):
+        lazy = dict(state["lazy"])
+        stacked = jax.tree_util.tree_map(
+            lambda x: tile(x, axis=1), lazy.pop("stacked"))
+        state = dict(state, lazy=lazy)
+    out = jax.tree_util.tree_map(tile, state)
+    if stacked is not None:
+        out = dict(out, lazy=dict(out["lazy"], stacked=stacked))
+    return _merge_keys(out, shared)
 
 
 def _gather_state(state, flat_indices):

@@ -31,9 +31,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import DecoderConfig
-from ..ops.pallas_decode import (fused_beam_decode_attention,
+from ..ops.pallas_decode import (STACK_WEIGHT_KEYS, _stack_fold_enabled,
+                                 fused_beam_decode_attention,
                                  fused_beam_decode_attention_qkv,
-                                 fused_decode_qkv_supported)
+                                 fused_beam_decode_stack,
+                                 fused_decode_qkv_supported,
+                                 fused_decode_stack_supported)
 
 
 def _fold_qkv_enabled() -> bool:
@@ -423,6 +426,24 @@ class GPT2Decoder(nn.Module):
         # slices on a tiled axis must be 8-aligned; padding rows are never
         # valid (the s < pos masks exclude them).
         s_alloc = -(-max_length // 8) * 8
+        cdtype = kvs[0][0].dtype
+        if self._use_stack(s_alloc, H, cdtype):
+            # whole-stack layout: ONE pallas_call runs all L layers per
+            # decode step (ops/pallas_decode.fused_beam_decode_stack).
+            # Caches live layer-stacked [L, B, S, H] under
+            # ``lazy["stacked"]`` (beam search tiles that subtree on
+            # axis 1 — inference.decoding._tile_state); the per-layer
+            # prefix K/V and the layer-stacked weights ride in ``shared``
+            # (per-decode constants, never tiled or gathered).
+            L = len(kvs)
+            lazy = {"stacked": {
+                "k": jnp.zeros((L, B, s_alloc, H), dtype=cdtype),
+                "v": jnp.zeros((L, B, s_alloc, H), dtype=cdtype)}}
+            shared = {"pk": jnp.stack([k.reshape(B, P, H) for k, _ in kvs]),
+                      "pv": jnp.stack([v.reshape(B, P, H) for _, v in kvs]),
+                      "stack": self._stacked_weights()}
+            return {"lazy": lazy, "shared": shared,
+                    "pos": jnp.zeros((), dtype=jnp.int32)}
         layers = [
             {"k": jnp.zeros((B, s_alloc, H), dtype=k.dtype),
              "v": jnp.zeros((B, s_alloc, H), dtype=v.dtype)}
@@ -436,6 +457,56 @@ class GPT2Decoder(nn.Module):
         # counts within the suffix; absolute position = P + pos.
         return {"lazy": {"layers": layers}, "shared": shared,
                 "pos": jnp.zeros((), dtype=jnp.int32)}
+
+    def _use_stack(self, s_alloc: int, width: int, dtype) -> bool:
+        """Whether this decode should use the whole-stack fused kernel
+        (the measured-fastest TPU path, docs/performance.md round 5):
+        the pallas path must resolve, the ICT_DECODE_STACK knob must be
+        on, and — on a real TPU — the stack kernel's VMEM envelope must
+        fit (gated with a conservative beam_size=8 upper bound; the
+        beam width is not known at init_cache time). Interpret mode
+        (CPU tests) has no Mosaic constraints, so the stack path engages
+        there whenever the caller asked for pallas — the pallas-vs-xla
+        parity tests then cover it by default."""
+        from ..ops.pallas_decode import resolve_decode_kernel
+
+        kernel = resolve_decode_kernel(
+            self.config.decode_kernel, cache_len=s_alloc, width=width,
+            dtype=dtype, beam_size=8)
+        return (kernel == "pallas" and _stack_fold_enabled()
+                and (jax.default_backend() != "tpu"
+                     or fused_decode_stack_supported(
+                         s_alloc, width, dtype, 8, self.prefix_length)))
+
+    def _stacked_weights(self):
+        """Layer-stacked kernel operands (STACK_WEIGHT_KEYS), read
+        straight off the bound submodules. Dense kernels/biases are cast
+        exactly as nn.Dense's promote_dtype would (the module dtype);
+        LayerNorm scale/bias stay in their f32 param dtype — flax
+        ``_normalize`` uses them unpromoted in the f32 statistics path,
+        and the kernel mirrors that for bit-exactness."""
+        blocks = self.backbone.blocks
+        dt = self.dtype
+
+        def dense(get):
+            return (jnp.stack([get(b)["kernel"] for b in blocks]).astype(dt),
+                    jnp.stack([get(b)["bias"] for b in blocks]).astype(dt))
+
+        def ln(get):
+            return (jnp.stack([get(b)["scale"] for b in blocks]),
+                    jnp.stack([get(b)["bias"] for b in blocks]))
+
+        wqkv, bqkv = dense(lambda b: b.attn.c_attn.variables["params"])
+        wo, bo = dense(lambda b: b.attn.c_proj.variables["params"])
+        wfc, bfc = dense(lambda b: b.mlp.variables["params"]["c_fc"])
+        wpj, bpj = dense(lambda b: b.mlp.variables["params"]["c_proj"])
+        g1, b1 = ln(lambda b: b.ln_1.variables["params"])
+        g2, b2 = ln(lambda b: b.ln_2.variables["params"])
+        stack = {"wqkv": wqkv, "bqkv": bqkv, "wo": wo, "bo": bo,
+                 "g1": g1, "b1": b1, "g2": g2, "b2": b2,
+                 "wfc": wfc, "bfc": bfc, "wpj": wpj, "bpj": bpj}
+        assert set(stack) == set(STACK_WEIGHT_KEYS)
+        return stack
 
     def _resolve_kernel(self, cache=None, beam_size: int = 1) -> str:
         from ..ops.pallas_decode import resolve_decode_kernel
@@ -451,24 +522,42 @@ class GPT2Decoder(nn.Module):
              tokens: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         pos = state["pos"]
         P = self.prefix_length
-        kernel = self._resolve_kernel(
-            state["lazy"]["layers"][0],
-            beam_size=(tokens.shape[0]
-                       // state["shared"]["layers"][0]["pk"].shape[0]))
+        stacked = state["lazy"].get("stacked")
+        Bk = tokens.shape[0]
+        if stacked is not None:
+            B = state["shared"]["pk"].shape[1]
+            s_alloc = stacked["k"].shape[2]
+        else:
+            B = state["shared"]["layers"][0]["pk"].shape[0]
+            s_alloc = state["lazy"]["layers"][0]["k"].shape[1]
+        K = Bk // B
         ancestry = state["lazy"].get("ancestry")  # set by beam search only
         anc_local = None
         if ancestry is not None:
-            Bk = tokens.shape[0]
-            B = state["shared"]["layers"][0]["pk"].shape[0]
-            K = Bk // B
             anc_local = (ancestry - (jnp.arange(
                 Bk, dtype=ancestry.dtype)[:, None] // K) * K)  # [Bk,L] in 0..K-1
-            s_alloc = state["lazy"]["layers"][0]["k"].shape[1]
             if anc_local.shape[1] < s_alloc:  # cache axis is 8-aligned
                 anc_local = jnp.pad(
                     anc_local, ((0, 0), (0, s_alloc - anc_local.shape[1])))
         x = self.backbone.wte(tokens)[:, None, :]
         x = x + self.backbone.wpe((P + pos)[None, None])
+        if stacked is not None:
+            # whole-stack fast path: all L layers in ONE pallas call (the
+            # layout chosen by init_cache/_use_stack; measured 34.2 ->
+            # 30.0 ms on the flagship scan, docs/performance.md round 5)
+            nh = self.config.num_heads
+            scale = 1.0 / ((self.config.hidden_dim // nh) ** 0.5)
+            hidden, kc, vc = fused_beam_decode_stack(
+                x[:, 0, :], state["shared"]["stack"],
+                stacked["k"], stacked["v"],
+                state["shared"]["pk"], state["shared"]["pv"],
+                anc_local, pos, num_heads=nh, beam_size=K, scale=scale)
+            hidden = self.backbone.ln_f(hidden[:, None, :])
+            logits = self.backbone.logits(hidden[:, 0])
+            new_lazy = dict(state["lazy"], stacked={"k": kc, "v": vc})
+            return logits, dict(state, lazy=new_lazy, pos=pos + 1)
+        kernel = self._resolve_kernel(
+            state["lazy"]["layers"][0], beam_size=K)
         new_layers = []
         for block, cache, pre in zip(self.backbone.blocks,
                                      state["lazy"]["layers"],

@@ -433,17 +433,22 @@ def fused_beam_decode_attention(
 
 
 def shard_data_parallel(exec_fn, operands, *, batch: int, what: str,
-                        replicated=(), mesh=None, data_axis=None):
+                        replicated=(), batch_axes=None, out_batch_axes=None,
+                        mesh=None, data_axis=None):
     """Run a batch-leading kernel launch shard-local per chip when a
     multi-chip ``decode_mesh`` is active (GSPMD cannot partition a pallas
     custom call); single-chip and no-mesh calls go straight through.
 
     Every operand is sharded on its leading (image-batch) axis except the
     indices in ``replicated`` (e.g. the decode kernel's ``pos`` scalar);
-    output specs derive from ``jax.eval_shape``. The grids are
-    image-parallel and all per-image state is shard-local, so the
-    shard-local calls need no collectives. Shared by the decode kernel
-    and its sibling cross-attention kernel (ops/pallas_cross.py)."""
+    ``batch_axes`` maps operand index -> the axis carrying the image batch
+    when it is not the leading one (the layer-stacked decode caches are
+    [L, Bk, S, H] — batch on axis 1); ``out_batch_axes`` does the same for
+    output positions (tree leaf order). Output specs derive from
+    ``jax.eval_shape``. The grids are image-parallel and all per-image
+    state is shard-local, so the shard-local calls need no collectives.
+    Shared by the decode kernel, its sibling cross-attention kernel
+    (ops/pallas_cross.py), and the whole-stack decode kernel."""
     mesh_ctx = mesh if mesh is not None else _DECODE_MESH
     axis = data_axis or (_DECODE_AXIS or "data")
     if mesh_ctx is None or mesh_ctx.shape.get(axis, 1) <= 1:
@@ -457,12 +462,21 @@ def shard_data_parallel(exec_fn, operands, *, batch: int, what: str,
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as _P
 
-    bspec = lambda nd: _P(axis, *([None] * (nd - 1)))  # noqa: E731
+    batch_axes = batch_axes or {}
+
+    def bspec(nd, ax=0):
+        parts = [None] * nd
+        parts[ax] = axis
+        return _P(*parts)
+
     in_specs = tuple(
-        _P(None) if i in replicated else bspec(op.ndim)
+        _P(None) if i in replicated else bspec(op.ndim, batch_axes.get(i, 0))
         for i, op in enumerate(operands))
     outs = jax.eval_shape(exec_fn, *operands)
-    out_specs = jax.tree_util.tree_map(lambda s: bspec(len(s.shape)), outs)
+    leaves, treedef = jax.tree_util.tree_flatten(outs)
+    oaxes = out_batch_axes or {}
+    out_specs = jax.tree_util.tree_unflatten(treedef, [
+        bspec(len(s.shape), oaxes.get(i, 0)) for i, s in enumerate(leaves)])
     return shard_map(exec_fn, mesh=mesh_ctx, in_specs=in_specs,
                      out_specs=out_specs, check_rep=False)(*operands)
 
@@ -863,3 +877,475 @@ def reference_beam_decode_attention(
     v_cache = jax.lax.dynamic_update_slice_in_dim(
         v_cache, v_new[:, None, :], pos, axis=1)
     return out, k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Whole-stack fold: ALL decoder layers in ONE pallas_call per decode step
+# ---------------------------------------------------------------------------
+#
+# Round 5's QKV/out-proj fold proved the fused scan's residual fixed cost
+# was XLA<->Mosaic boundary serialization (scripts/bench_fused_qkv.py:
+# 1.3 us/call launch floor, -3.2 ms from removing the per-layer QKV
+# boundary). One boundary per layer remained: the MLP + layernorms ran in
+# XLA between consecutive layer calls, so layer li+1's cache-load DMA
+# waited on layer li's MLP. This section folds the ENTIRE decoder layer
+# (LN1 -> QKV -> beam attention -> out-proj -> residual -> LN2 -> MLP ->
+# residual) into the kernel and runs all L layers as ONE pallas_call per
+# decode step: grid (layer, image-block), the residual stream carried
+# across layers in a VMEM scratch buffer, per-layer weights as pipelined
+# blocks (Mosaic prefetches layer li+1's weights while li computes), and
+# the per-layer KV caches stacked [L, Bk, S, H] in HBM with in-place
+# appends. Measured on the chained 19-step x 12-layer flagship scan
+# (scripts/bench_layer_fold.py, v5e): 34.18 ms (per-layer folded-QKV
+# production path) -> 30.04 ms at 160-row grid cells, with the per-layer
+# full fold (variant E, one call per complete layer) REJECTED at 46.6 ms
+# — at 40-row cells the in-kernel MLP starves the MXU (M=40 uses < 1/3 of
+# the 128-row systolic dim); the whole-stack form wins because bigger
+# cells fix the MXU geometry while weight prefetch + zero boundaries keep
+# the DMA pipeline full.
+#
+# In-kernel numerics are bit-exact against the XLA modules under jit on
+# CPU: LayerNorm reproduces flax._normalize exactly (f32 stats, fast
+# variance with the negative clip, scale folded into the rsqrt multiplier
+# BEFORE the elementwise multiply), and the MLP follows nn.Dense's
+# rounding (f32-accumulated dot rounded to the module dtype, then the
+# dtype bias added) with jax.nn.gelu(approximate=True) between.
+
+_STACK_VMEM_BUDGET = 68 * 1024 * 1024
+_STACK_VMEM_MARGIN = 4 * 1024 * 1024
+# measured optimum grid-cell height for the whole-stack kernel (chip
+# sweep: 40 rows 32.4 ms, 80 rows 39.4 ms, 160 rows 30.0 ms)
+_STACK_TARGET_ROWS = 160
+
+
+def _stack_fold_enabled() -> bool:
+    """Experiment knob: ICT_DECODE_STACK=0 reverts the GPT-2 pallas decode
+    path to per-layer folded-QKV calls (the round-5 production path) for
+    A/B runs."""
+    import os
+
+    return os.environ.get("ICT_DECODE_STACK", "1") != "0"
+
+
+def _stack_vmem_bytes(rows: int, images: int, S: int, H: int, P: int,
+                      itemsize: int) -> Tuple[int, int]:
+    """(fixed, variable) VMEM footprint of the whole-stack kernel,
+    counting everything Mosaic allocates (same discipline as
+    ``_folded_vmem_bytes``): double-buffered weight pipeline blocks
+    (wqkv [H,3H] + wo [H,H] + wfc [H,4H] + wproj [4H,H] = 12 H^2), the
+    sublane-padded bias/LN blocks, the K/V scratch, the lane-padded anc
+    block, x/out blocks, and the prefix blocks. The [Bk, H] residual
+    carry is charged to the variable term via ``rows`` (it scales with
+    the full batch, bounded by rows * ncells; callers pass total rows
+    for it separately if needed — at flagship scale it is < 1 MiB)."""
+    P8 = -(-P // 8) * 8
+    fixed = (24 * H * H * itemsize        # 12 H^2 weight params, 2-buffered
+             + 2 * 8 * 13 * H * itemsize)  # 8 bias/LN rows, sublane-padded
+    variable = (rows * (4 * S * H * itemsize    # K/V scratch [2,R,S,H] x2
+                        + 4 * H * itemsize      # x + out blocks, 2-buffered
+                        + 2 * S * 128 * 4       # anc [R,S,1->128] int32 x2
+                        + H * itemsize)         # residual-carry share
+                + images * 4 * P8 * H * itemsize)  # prefix k+v, 2-buffered
+    return fixed, variable
+
+
+def fused_decode_stack_supported(cache_len: int, width: int,
+                                 dtype=jnp.bfloat16,
+                                 beam_size: int = 8,
+                                 prefix_len: int = 64) -> bool:
+    """Whether the whole-stack kernel fits this decoder: the base kernel's
+    Mosaic constraints plus one image's beam block of scratch/pipeline
+    blocks AND the four weight matrices inside the raised VMEM envelope.
+    ``beam_size``/``prefix_len`` default to conservative upper bounds for
+    callers that gate at ``init_cache`` time, before the real values are
+    known."""
+    itemsize = jnp.dtype(dtype).itemsize
+    fixed, variable = _stack_vmem_bytes(
+        beam_size, 1, cache_len, width, prefix_len, itemsize)
+    return (width % 128 == 0 and cache_len % 8 == 0
+            and fixed + variable <= _STACK_VMEM_BUDGET)
+
+
+STACK_WEIGHT_KEYS = ("wqkv", "bqkv", "wo", "bo", "g1", "b1", "g2", "b2",
+                     "wfc", "bfc", "wpj", "bpj")
+
+
+def _stack_ln(x, gamma, beta, eps):
+    """flax.linen.LayerNorm(dtype=bf16) bit-exact (``_compute_stats`` /
+    ``_normalize`` with force_float32_reductions and fast variance): f32
+    stats with the negative-variance clip, scale folded into the rsqrt
+    multiplier before the elementwise multiply, result cast back."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+    return ((xf - mu) * mul + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+def _stack_kernel(pos_ref, x_ref, anc_ref, pk_ref, pv_ref,
+                  wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                  g1_ref, b1_ref, g2_ref, b2_ref,
+                  wfc_ref, bfc_ref, wpj_ref, bpj_ref,
+                  kc_in, vc_in, out_ref, kc_out, vc_out,
+                  kvm, vvm, xbuf, sems,
+                  *, K: int, NH: int, S: int, P: int, H: int,
+                  G: int, R: int, L: int, scale: float, eps: float,
+                  precise: bool):
+    """Grid (L, NC) cell: layer ``li`` on image block ``g``. The residual
+    stream is carried across layers in ``xbuf`` (written by (li-1, g),
+    read by (li, g) — grid cells execute sequentially); weights arrive as
+    pipelined blocks with per-layer index maps; caches are stacked
+    [L, Bk, S, H] HBM refs, input/output aliased, appended in place via
+    the same deferred-put scheme as ``_kernel``."""
+    li = pl.program_id(0)
+    g = pl.program_id(1)
+    NC = pl.num_programs(1)
+    c = li * NC + g
+    ntotal = L * NC
+    row0 = g * R
+    pos = pos_ref[0]
+    slot = c % 2
+
+    def start_load(nc, sl):
+        nli = nc // NC
+        r0 = (nc % NC) * R
+        pltpu.make_async_copy(
+            kc_in.at[nli, pl.ds(r0, R)], kvm.at[sl], sems.at[sl, 0]).start()
+        pltpu.make_async_copy(
+            vc_in.at[nli, pl.ds(r0, R)], vvm.at[sl], sems.at[sl, 1]).start()
+
+    # start the cache load FIRST: it depends on nothing computed in this
+    # cell, so the DMA rides under the LN + QKV matmul
+    @pl.when(c == 0)
+    def _():
+        start_load(0, 0)
+
+    load_k = pltpu.make_async_copy(
+        kc_in.at[li, pl.ds(row0, R)], kvm.at[slot], sems.at[slot, 0])
+    load_v = pltpu.make_async_copy(
+        vc_in.at[li, pl.ds(row0, R)], vvm.at[slot], sems.at[slot, 1])
+
+    # layer 0 reads the step input block; later layers read the carry
+    x = jnp.where(li == 0, x_ref[:], xbuf[pl.ds(row0, R), :])   # [R, H]
+    dt = x.dtype
+    sdt = jnp.float32 if precise else dt
+    h = _stack_ln(x, g1_ref[0, 0], b1_ref[0, 0], eps)
+    # in-kernel QKV projection (MXU), nn.Dense-exact: f32-accumulated dot
+    # rounded to the module dtype, THEN the dtype bias added. NB: slice
+    # BEFORE adding axes — newaxis mixed with a bounded slice lowers to a
+    # gather Mosaic rejects (round-5 on-chip-only defect).
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = qkv.astype(dt) + bqkv_ref[0]                          # [R, 3H]
+    q = qkv[:, :H].astype(sdt)
+    knew = qkv[:, H:2 * H]
+    vnew = qkv[:, 2 * H:]
+
+    hd = H // NH
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, NH), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (H, NH), 1)
+    hmask = (lane // hd == head).astype(sdt)
+    hmask_t = (lane // hd == head).astype(jnp.float32).T
+
+    def head_sums(prod):
+        nd = prod.ndim - 1
+        return jax.lax.dot_general(
+            prod, hmask, dimension_numbers=(((nd,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def expand(wpart):
+        nd = wpart.ndim - 1
+        return jax.lax.dot_general(
+            wpart.astype(jnp.float32), hmask_t,
+            dimension_numbers=(((nd,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    s_self = head_sums(q * knew.astype(sdt)) * scale            # [R, NH]
+
+    q4 = q.reshape(G, K, H)
+    P8 = -(-P // 8) * 8
+    prod_pre = q4[:, :, None, :] * pk_ref[:][:, None].astype(sdt)
+    if P8 != P:
+        prod_pre = jnp.pad(prod_pre, ((0, 0), (0, 0), (0, P8 - P), (0, 0)))
+    s_pre = head_sums(prod_pre.reshape(R * P8, H)).reshape(
+        R, P8, NH) * scale
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, P8, NH), 1)
+    s_pre = jnp.where(p_ids < P, s_pre, _NEG_INF)
+
+    def wait_puts(sl):
+        pltpu.make_async_copy(
+            kvm.at[sl, :, pl.ds(0, 8), :],
+            kc_out.at[0, pl.ds(0, R), pl.ds(0, 8), :], sems.at[sl, 2]).wait()
+        pltpu.make_async_copy(
+            vvm.at[sl, :, pl.ds(0, 8), :],
+            vc_out.at[0, pl.ds(0, R), pl.ds(0, 8), :], sems.at[sl, 3]).wait()
+
+    load_k.wait()
+    load_v.wait()
+
+    @pl.when(c + 1 < ntotal)
+    def _():
+        @pl.when(c >= 1)
+        def _():
+            wait_puts(1 - slot)
+        start_load(c + 1, 1 - slot)
+
+    anc4 = anc_ref[:].reshape(G, K, S, 1)
+    kvm4 = kvm[slot].reshape(G, K, S, H)
+    k_sel = jnp.zeros((G, K, S, H), dtype=kvm4.dtype)
+    for cand in range(K):
+        k_sel = jnp.where(anc4 == cand, kvm4[:, cand][:, None], k_sel)
+    prod_suf = (q4[:, :, None, :] * k_sel.astype(sdt)).reshape(R * S, H)
+    s_suf = head_sums(prod_suf).reshape(R, S, NH) * scale
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (R, S, NH), 1)
+    s_suf = jnp.where(s_ids < pos, s_suf, _NEG_INF)
+
+    # suffix first: its weight slice stays sublane-aligned (see _kernel)
+    scores = jnp.concatenate([s_suf, s_pre, s_self[:, None, :]], axis=1)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    w = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)      # [R, T, NH]
+
+    pvp = pv_ref[:]
+    if P8 != P:
+        pvp = jnp.pad(pvp, ((0, 0), (0, P8 - P), (0, 0)))
+    w_pre_flat = w[:, S:S + P8].reshape(R * P8, NH)
+    acc = jnp.sum(
+        expand(w_pre_flat).reshape(G, K, P8, H)
+        * pvp[:, None].astype(jnp.float32), axis=2).reshape(R, H)
+
+    vvm4 = vvm[slot].reshape(G, K, S, H)
+    v_sel = jnp.zeros((G, K, S, H), dtype=vvm4.dtype)
+    for cand in range(K):
+        v_sel = jnp.where(anc4 == cand, vvm4[:, cand][:, None], v_sel)
+    w_suf_flat = w[:, :S].reshape(R * S, NH)
+    acc = acc + jnp.sum(
+        expand(w_suf_flat).reshape(R, S, H)
+        * v_sel.astype(jnp.float32).reshape(R, S, H), axis=1)
+
+    acc = acc + jnp.sum(
+        expand(w[:, S + P8:]) * vnew[:, None].astype(jnp.float32), axis=1)
+
+    # out-projection + residual + LN2 + MLP + residual, all in-kernel
+    att = jax.lax.dot_general(
+        acc.astype(dt), wo_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt) + bo_ref[0]
+    x1 = x + att
+    h2 = _stack_ln(x1, g2_ref[0, 0], b2_ref[0, 0], eps)
+    y = jax.lax.dot_general(
+        h2, wfc_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt) + bfc_ref[0]
+    ygelu = jax.nn.gelu(y, approximate=True)  # HF gelu_new
+    mlp = jax.lax.dot_general(
+        ygelu, wpj_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt) + bpj_ref[0]
+    xo = x1 + mlp
+    xbuf[pl.ds(row0, R), :] = xo
+    # the out block is revisited once per layer; each write fully
+    # overwrites it and the last (li = L-1) lands last, so the flushed
+    # HBM row is the final hidden state
+    out_ref[:] = xo
+
+    # append this step's K/V in place (deferred-put scheme, see _kernel)
+    pos0 = pl.multiple_of((pos // 8) * 8, 8)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (R, 8, H), 1)
+    at_pos = ids == pos - pos0
+    kvm[slot, :, pl.ds(pos0, 8), :] = jnp.where(
+        at_pos, knew[:, None, :], kvm[slot, :, pl.ds(pos0, 8), :])
+    vvm[slot, :, pl.ds(pos0, 8), :] = jnp.where(
+        at_pos, vnew[:, None, :], vvm[slot, :, pl.ds(pos0, 8), :])
+    pltpu.make_async_copy(
+        kvm.at[slot, :, pl.ds(pos0, 8), :],
+        kc_out.at[li, pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[slot, 2]
+    ).start()
+    pltpu.make_async_copy(
+        vvm.at[slot, :, pl.ds(pos0, 8), :],
+        vc_out.at[li, pl.ds(row0, R), pl.ds(pos0, 8), :], sems.at[slot, 3]
+    ).start()
+
+    @pl.when(c == ntotal - 1)
+    def _():
+        @pl.when(ntotal > 1)
+        def _():
+            wait_puts(1 - slot)
+        wait_puts(slot)
+
+
+def fused_beam_decode_stack(
+        x: jnp.ndarray, stack: dict,
+        k_caches: jnp.ndarray, v_caches: jnp.ndarray,
+        prefix_k: jnp.ndarray, prefix_v: jnp.ndarray,
+        anc_local: Optional[jnp.ndarray], pos: jnp.ndarray,
+        *, num_heads: int, beam_size: int, scale: float,
+        ln_eps: float = 1e-5,
+        block_images: Optional[int] = None,
+        precise: Optional[bool] = None,
+        interpret: Optional[bool] = None,
+        mesh=None, data_axis: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ALL decoder layers of one decode step as ONE Pallas call.
+
+    x [Bk, H] is the post-embedding residual stream; ``stack`` holds the
+    layer-stacked weights (``STACK_WEIGHT_KEYS``: wqkv [L,H,3H], bqkv
+    [L,3H], wo [L,H,H], bo [L,H], ln1/ln2 scale+bias g1/b1/g2/b2 [L,H],
+    wfc [L,H,4H], bfc [L,4H], wpj [L,4H,H], bpj [L,H]); k_caches/v_caches
+    [L, Bk, S, H] are updated in place (S % 8 == 0); prefix_k/v
+    [L, B, P, H] are the per-layer shared prefix K/V. Returns
+    (hidden [Bk, H] — the final layer's residual stream, pre-ln_f —
+    k_caches, v_caches) with the caches aliased to the inputs.
+
+    Replaces the per-layer loop over
+    :func:`fused_beam_decode_attention_qkv` + XLA LN/MLP: measured
+    -4.1 ms on the flagship 19x12 scan (34.18 -> 30.04 ms,
+    scripts/bench_layer_fold.py on v5e), from removing the remaining
+    per-layer XLA<->Mosaic boundary, prefetching layer li+1's weights
+    during li's compute, and 160-row grid cells that keep the in-kernel
+    MLP matmuls on full MXU tiles."""
+    Bk, H = x.shape
+    L, _, S, _ = k_caches.shape
+    P = prefix_k.shape[2]
+    K = beam_size
+    B = Bk // K
+    if S % 8:
+        raise ValueError(f"cache position axis must be 8-aligned, got {S}")
+    if precise is None:
+        import os as _os
+
+        precise = _os.environ.get("ICT_DECODE_PRECISE", "1") != "0"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if H % 128 and not interpret:
+        raise ValueError(
+            f"whole-stack decode kernel needs a 128-lane-aligned feature "
+            f"axis, got width {H}. Use decode_kernel='xla' or the "
+            f"per-layer kernels for narrow models.")
+
+    if anc_local is None:
+        anc = jnp.zeros((Bk, S, 1), dtype=jnp.int32)
+    else:
+        anc = anc_local.astype(jnp.int32)[:, :, None]
+
+    exec_fn = functools.partial(
+        _stack_exec, K=K, NH=num_heads, scale=scale, eps=ln_eps,
+        precise=precise, block_images=block_images, interpret=interpret)
+    pos_arr = jnp.asarray(pos, dtype=jnp.int32).reshape(1)
+    operands = (pos_arr, x, anc, prefix_k, prefix_v,
+                *(stack[k] for k in STACK_WEIGHT_KEYS),
+                k_caches, v_caches)
+
+    # weights (operands 5-16) replicate across the data mesh; the stacked
+    # caches and per-layer prefixes carry the image batch on axis 1
+    return shard_data_parallel(
+        exec_fn, operands, batch=B, what="whole-stack fused decode",
+        replicated=tuple([0] + list(range(5, 17))),
+        batch_axes={3: 1, 4: 1, 17: 1, 18: 1},
+        out_batch_axes={1: 1, 2: 1},
+        mesh=mesh, data_axis=data_axis)
+
+
+def _stack_exec(pos_arr, x, anc, prefix_k, prefix_v,
+                wqkv, bqkv, wo, bo, g1, b1, g2, b2, wfc, bfc, wpj, bpj,
+                k_caches, v_caches, *, K: int, NH: int, scale: float,
+                eps: float, precise: bool, block_images: Optional[int],
+                interpret: bool):
+    """Shard-local whole-stack launch: geometry derives from the
+    (possibly shard-local) shapes; the prefix is flattened to
+    [L*B, P, H] here so the shard_map wrapper can shard its batch axis
+    while the kernel's block index stays a plain 3D map."""
+    Bk, H = x.shape
+    L, _, S, _ = k_caches.shape
+    P = prefix_k.shape[2]
+    B = Bk // K
+
+    itemsize = jnp.dtype(k_caches.dtype).itemsize
+    if block_images is None:
+        fixed, per_beamrow = _stack_vmem_bytes(1, 0, S, H, P, itemsize)
+        per_image = K * per_beamrow + _stack_vmem_bytes(
+            0, 1, S, H, P, itemsize)[1]
+        avail = _STACK_VMEM_BUDGET - fixed
+        rows_fit = max(1, (avail // per_image) * K)
+        block_images = max(1, min(_STACK_TARGET_ROWS, rows_fit) // K)
+    G = min(block_images, B)
+    while B % G:
+        G -= 1
+    R = G * K
+    fixed, variable = _stack_vmem_bytes(R, G, S, H, P, itemsize)
+    if fixed + variable > _STACK_VMEM_BUDGET:
+        raise ValueError(
+            f"whole-stack decode kernel cannot fit the beam block + "
+            f"weights in VMEM: {variable / 2**20:.1f} MiB scratch/pipeline "
+            f"blocks (R={R} x S={S} x H={H}, P={P}) + {fixed / 2**20:.1f} "
+            f"MiB weight blocks against a {_STACK_VMEM_BUDGET / 2**20:.0f} "
+            f"MiB budget. Use the per-layer kernels "
+            f"(ICT_DECODE_STACK=0) or decode_kernel='xla'.")
+    NCI = B // G
+
+    kernel = functools.partial(
+        _stack_kernel, K=K, NH=NH, S=S, P=P, H=H, G=G, R=R, L=L,
+        scale=scale, eps=eps, precise=precise)
+
+    wspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, (lambda li, g, *_: (li,) + (0,) * len(shape)),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, NCI),
+        in_specs=[
+            pl.BlockSpec((R, H), lambda li, g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),              # x
+            pl.BlockSpec((R, S, 1), lambda li, g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),              # anc
+            # prefix K/V flattened [L*B, P, H]: block index li*NCI + g
+            pl.BlockSpec((G, P, H), lambda li, g, *_: (li * NCI + g, 0, 0),
+                         memory_space=pltpu.VMEM),              # prefix_k
+            pl.BlockSpec((G, P, H), lambda li, g, *_: (li * NCI + g, 0, 0),
+                         memory_space=pltpu.VMEM),              # prefix_v
+            wspec((H, 3 * H)), wspec((1, 3 * H)),               # wqkv, bqkv
+            wspec((H, H)), wspec((1, H)),                       # wo, bo
+            wspec((1, H)), wspec((1, H)),                       # ln1 g/b
+            wspec((1, H)), wspec((1, H)),                       # ln2 g/b
+            wspec((H, 4 * H)), wspec((1, 4 * H)),               # wfc, bfc
+            wspec((4 * H, H)), wspec((1, H)),                   # wpj, bpj
+            pl.BlockSpec(memory_space=pl.ANY),               # k_caches
+            pl.BlockSpec(memory_space=pl.ANY),               # v_caches
+        ],
+        out_specs=[
+            pl.BlockSpec((R, H), lambda li, g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),              # hidden
+            pl.BlockSpec(memory_space=pl.ANY),               # k_caches
+            pl.BlockSpec(memory_space=pl.ANY),               # v_caches
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, R, S, H), k_caches.dtype),
+            pltpu.VMEM((2, R, S, H), v_caches.dtype),
+            pltpu.VMEM((Bk, H), x.dtype),                    # residual carry
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+
+    out, k_caches, v_caches = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bk, H), x.dtype),
+            jax.ShapeDtypeStruct(k_caches.shape, k_caches.dtype),
+            jax.ShapeDtypeStruct(v_caches.shape, v_caches.dtype),
+        ],
+        # with the scalar-prefetch operand first: 0=pos, 1=x, 2=anc,
+        # 3=pk, 4=pv, 5..16=weights, 17=kc, 18=vc
+        input_output_aliases={17: 1, 18: 2},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_STACK_VMEM_BUDGET + _STACK_VMEM_MARGIN),
+        interpret=interpret,
+    )(pos_arr, x, anc,
+      prefix_k.reshape(L * B, P, H), prefix_v.reshape(L * B, P, H),
+      wqkv, bqkv.reshape(L, 1, -1), wo, bo.reshape(L, 1, -1),
+      g1.reshape(L, 1, -1), b1.reshape(L, 1, -1),
+      g2.reshape(L, 1, -1), b2.reshape(L, 1, -1),
+      wfc, bfc.reshape(L, 1, -1), wpj, bpj.reshape(L, 1, -1),
+      k_caches, v_caches)
+    return out, k_caches, v_caches

@@ -56,7 +56,8 @@ LN_EPS = 1e-5
 # scratch + pipelined weight blocks (wqkv/wo/wfc/wproj ~13.5 MiB single,
 # x2 pipeline buffers) + the x carry. The v5e core has >96 MiB physical
 # VMEM (probed, docs/performance.md round 5); 48 MiB leaves XLA plenty.
-VMEM_LIMIT = 48 * 1024 * 1024
+VMEM_LIMIT = int(__import__("os").environ.get(
+    "FOLD_VMEM_MB", "48")) * 1024 * 1024
 
 
 def _ln(x, gamma, beta):
@@ -270,8 +271,14 @@ def _layer_kernel(pos_ref, x_ref, anc_ref, pk_ref, pv_ref,
 
 
 def _grid_geometry(Bk):
+    """Default 40-row cells (the split/attention-only kernel's measured
+    optimum); FOLD_ROWS overrides — with the MLP matmuls in-kernel the
+    MXU wants M >= 128, so bigger cells may win (measured below)."""
+    import os as _os
+
+    rows = int(_os.environ.get("FOLD_ROWS", "40"))
     Bi = Bk // K
-    G = max(1, min(40, Bk) // K)
+    G = max(1, min(rows, Bk) // K)
     while Bi % G:
         G -= 1
     return Bi, G, G * K
@@ -638,8 +645,21 @@ def single_layer_production(x, lw, kc, vc, pk1, pv1, anc, pos):
 
 
 def main():
+    import os as _os
+
+    variants = _os.environ.get("FOLD_VARIANTS", "AEF")
     args = make_inputs()
     x0, pk, pv, anc, sw = args
+
+    if "P" not in variants and variants != "AEF":
+        # sweep mode: parity already established at the default geometry;
+        # time only the requested variants
+        for v in variants:
+            fn = {"A": scan_production, "E": scan_layer_fold,
+                  "F": scan_stack_fold}[v]
+            time_prog(f"{v} (rows={_os.environ.get('FOLD_ROWS', '40')})",
+                      fn, args)
+        return
 
     # single-call parity: ONE layer, ONE step — the numerically meaningful
     # check (the 228-call chain amplifies 1-ulp Mosaic-vs-XLA

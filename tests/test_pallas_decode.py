@@ -169,8 +169,15 @@ def test_gpt2_step_pallas_matches_xla(tiny_gpt2):
         lp, state_p = dec_p.apply(variables, state_p, toks, method=dec_p.step)
         np.testing.assert_allclose(_np(lx), _np(lp), atol=2e-4, rtol=2e-4)
         toks = jnp.argmax(lx, axis=-1).astype(jnp.int32)
-    for lx_l, lp_l in zip(state_x["lazy"]["layers"],
-                          state_p["lazy"]["layers"]):
+    # the pallas path holds its caches layer-stacked ([L, B, S, H],
+    # lazy["stacked"]) when the whole-stack kernel is active
+    if "stacked" in state_p["lazy"]:
+        pl_layers = [{"k": state_p["lazy"]["stacked"]["k"][li],
+                      "v": state_p["lazy"]["stacked"]["v"][li]}
+                     for li in range(len(state_x["lazy"]["layers"]))]
+    else:
+        pl_layers = state_p["lazy"]["layers"]
+    for lx_l, lp_l in zip(state_x["lazy"]["layers"], pl_layers):
         np.testing.assert_allclose(_np(lx_l["k"]), _np(lp_l["k"]),
                                    atol=2e-5, rtol=2e-5)
         np.testing.assert_allclose(_np(lx_l["v"]), _np(lp_l["v"]),
@@ -413,14 +420,41 @@ def test_fold_knob_is_exact_through_model(fixture_name, request, monkeypatch):
     jax.tree_util.tree_map(check, results["0"][1], results["1"][1])
 
 
-def test_folded_dispatches_through_model(tiny_gpt2, monkeypatch):
-    """Spy on the folded kernel entry: the pallas path through the real
-    GPT-2 decoder step must reach fused_beam_decode_attention_qkv — guards
-    against a silent fall-back to the split formulation (or XLA) behind
+def test_stack_dispatches_through_model(tiny_gpt2, monkeypatch):
+    """Spy on the whole-stack kernel entry: the pallas path through the
+    real GPT-2 decoder step must reach fused_beam_decode_stack — guards
+    against a silent fall-back to the per-layer kernels (or XLA) behind
     the parity tests."""
     import image_captioning_ml_project_tpu.models.gpt2 as gpt2_mod
     import image_captioning_ml_project_tpu.ops.pallas_decode as pd
 
+    calls = []
+    real = pd.fused_beam_decode_stack
+
+    def spy(*args, **kwargs):
+        calls.append(args[0].shape)   # x [Bk, H]
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(gpt2_mod, "fused_beam_decode_stack", spy)
+    monkeypatch.setattr(pd, "fused_beam_decode_stack", spy)
+    build, variables, feats = tiny_gpt2
+    dec = build("pallas")
+    state = dec.apply(variables, feats, 10, method=dec.init_cache)
+    assert "stacked" in state["lazy"], "stack cache layout not chosen"
+    toks = jnp.asarray([1, 5, 9, 12])
+    dec.apply(variables, state, toks, method=dec.step)
+    assert calls, "whole-stack decode kernel never dispatched"
+
+
+def test_folded_dispatches_through_model(tiny_gpt2, monkeypatch):
+    """With the stack fold knocked out (ICT_DECODE_STACK=0), the pallas
+    path must fall back to the per-layer folded kernel
+    (fused_beam_decode_attention_qkv) — pins the fallback chain
+    stack -> folded -> split -> xla."""
+    import image_captioning_ml_project_tpu.models.gpt2 as gpt2_mod
+    import image_captioning_ml_project_tpu.ops.pallas_decode as pd
+
+    monkeypatch.setenv("ICT_DECODE_STACK", "0")
     calls = []
     real = pd.fused_beam_decode_attention_qkv
 
@@ -435,6 +469,111 @@ def test_folded_dispatches_through_model(tiny_gpt2, monkeypatch):
     build, variables, feats = tiny_gpt2
     dec = build("pallas")
     state = dec.apply(variables, feats, 10, method=dec.init_cache)
+    assert "stacked" not in state["lazy"]
     toks = jnp.asarray([1, 5, 9, 12])
     dec.apply(variables, state, toks, method=dec.step)
     assert calls, "folded decode kernel never dispatched"
+
+
+# ---------------------------------------------------------------------------
+# whole-stack kernel (all layers in one call)
+# ---------------------------------------------------------------------------
+
+def _stack_layer_oracle(x, lw, kc, vc, pk1, pv1, anc, pos, *, NH, K, eps):
+    """One complete decoder layer in plain jnp with the kernel's exact
+    dtype discipline: flax-exact LN, nn.Dense-exact projections, the
+    attention oracle, gelu_new MLP, residuals."""
+    from image_captioning_ml_project_tpu.ops.pallas_decode import (
+        _stack_ln, reference_beam_decode_attention)
+
+    H = x.shape[1]
+    dt = x.dtype
+    scale = 1.0 / (H // NH) ** 0.5
+
+    def dense(h, w, b):
+        y = jax.lax.dot_general(
+            h, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(dt) + b
+
+    h = _stack_ln(x, lw["g1"], lw["b1"], eps)
+    qkv = dense(h, lw["wqkv"], lw["bqkv"])
+    att, kc, vc = reference_beam_decode_attention(
+        qkv[:, :H], qkv[:, H:2 * H], qkv[:, 2 * H:], kc, vc, pk1, pv1,
+        anc, pos, num_heads=NH, beam_size=K, scale=scale)
+    x1 = x + dense(att.astype(dt), lw["wo"], lw["bo"])
+    h2 = _stack_ln(x1, lw["g2"], lw["b2"], eps)
+    y = jax.nn.gelu(dense(h2, lw["wfc"], lw["bfc"]), approximate=True)
+    return x1 + dense(y, lw["wpj"], lw["bpj"]), kc, vc
+
+
+@pytest.mark.parametrize("B,K,L,pos", [
+    (4, 3, 3, 0),    # first step (fully masked suffix)
+    (4, 3, 3, 5),    # mid-decode
+    (6, 1, 2, 3),    # greedy (K=1, identity ancestry)
+])
+def test_stack_kernel_matches_layer_chain(B, K, L, pos):
+    """fused_beam_decode_stack == chaining the per-layer oracle, for the
+    outputs AND every layer's in-place cache append."""
+    from image_captioning_ml_project_tpu.ops.pallas_decode import (
+        STACK_WEIGHT_KEYS, fused_beam_decode_stack)
+
+    S, P, NH, H = 8, 2, 2, 32
+    dt = jnp.float32
+    Bk = B * K
+    rngs = iter(jax.random.split(jax.random.PRNGKey(pos * 7 + L), 24))
+    x = jax.random.normal(next(rngs), (Bk, H), dt)
+    kcs = jax.random.normal(next(rngs), (L, Bk, S, H), dt)
+    vcs = jax.random.normal(next(rngs), (L, Bk, S, H), dt)
+    pk = jax.random.normal(next(rngs), (L, B, P, H), dt) * 0.3
+    pv = jax.random.normal(next(rngs), (L, B, P, H), dt) * 0.3
+    anc = (jax.random.randint(next(rngs), (Bk, S), 0, K)
+           if K > 1 else None)
+    shapes = {"wqkv": (H, 3 * H), "bqkv": (3 * H,), "wo": (H, H),
+              "bo": (H,), "g1": (H,), "b1": (H,), "g2": (H,), "b2": (H,),
+              "wfc": (H, 4 * H), "bfc": (4 * H,), "wpj": (4 * H, H),
+              "bpj": (H,)}
+    stack = {k: jax.random.normal(next(rngs), (L,) + shp, dt)
+             * (0.05 if k[0] == "w" else 0.02)
+             for k, shp in shapes.items()}
+    stack["g1"] = stack["g1"] + 1.0
+    stack["g2"] = stack["g2"] + 1.0
+
+    out, kn, vn = fused_beam_decode_stack(
+        x, stack, kcs, vcs, pk, pv, anc, jnp.asarray(pos),
+        num_heads=NH, beam_size=K, scale=1.0 / (H // NH) ** 0.5,
+        interpret=True)
+
+    xe = x
+    for li in range(L):
+        lw = {k: stack[k][li] for k in STACK_WEIGHT_KEYS}
+        xe, kc_li, vc_li = _stack_layer_oracle(
+            xe, lw, kcs[li], vcs[li], pk[li], pv[li], anc, pos,
+            NH=NH, K=K, eps=1e-5)
+        np.testing.assert_allclose(_np(kn[li]), _np(kc_li), atol=1e-5,
+                                   rtol=1e-5, err_msg=f"k_cache layer {li}")
+        np.testing.assert_allclose(_np(vn[li]), _np(vc_li), atol=1e-5,
+                                   rtol=1e-5, err_msg=f"v_cache layer {li}")
+    np.testing.assert_allclose(_np(out), _np(xe), atol=1e-4, rtol=1e-4)
+
+
+def test_stack_tile_convention():
+    """Beam search tiles lazy['stacked'] caches on axis 1 (layer-leading
+    layout) and everything else on axis 0."""
+    from image_captioning_ml_project_tpu.inference.decoding import \
+        _tile_state
+
+    state = {
+        "lazy": {"stacked": {"k": jnp.arange(2 * 3 * 4).reshape(2, 3, 4)}},
+        "shared": {"pk": jnp.ones((5, 3, 2))},
+        "tokens": jnp.arange(3),
+        "pos": jnp.zeros(()),
+    }
+    out = _tile_state(state, 2)
+    assert out["lazy"]["stacked"]["k"].shape == (2, 6, 4)
+    assert out["shared"]["pk"].shape == (5, 3, 2)  # untouched
+    assert out["tokens"].shape == (6,)
+    # rows repeat per image: [r0, r0, r1, r1, r2, r2]
+    np.testing.assert_array_equal(
+        _np(out["lazy"]["stacked"]["k"][:, 1]),
+        _np(state["lazy"]["stacked"]["k"][:, 0]))
