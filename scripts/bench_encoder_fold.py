@@ -1,0 +1,288 @@
+"""Whole-stack CLIP-encoder fold experiment (round 5 follow-on).
+
+With the decode loop folded (ops/pallas_decode.fused_beam_decode_stack),
+the per-batch profile shows the next cost block is the CLIP encoder
+forward: **5.30 ms of the 36.2 ms program** (scripts/profile_beam.py,
+ImageCaptioningModel.encode scope) — a latency-bound chain of ~350 tiny
+XLA ops (49 matmul fusions, 49 layernorm reductions, 98 reshapes) over
+[64, 50, 768] activations, nowhere near either roofline (nominal compute
+is ~283 GFLOP ≈ 1.4 ms; weights are ~170 MB ≈ 0.2 ms of HBM).
+
+This script measures folding all 12 CLIP layers into ONE pallas_call:
+grid (layer, image-block), residual stream carried in VMEM scratch,
+per-layer weights pipelined (layer li+1 prefetches during li), and the
+full T x T multi-head attention computed in-kernel via a head-tiled
+masked-dot formulation (no per-head lane slicing, no transposes):
+
+  Q'[h*T + t, d] = q[t, d] * [d // hd == h]        (tile + iota mask)
+  S  = Q' . k^T   -> [nh*T, T] rows are (head, query) pairs,
+                      softmax over lanes is the per-head softmax
+  O  = P . v      -> [nh*T, H], mask to own head's lanes, sum head blocks
+
+Run on the chip:  python scripts/bench_encoder_fold.py
+CPU parity only:  JAX_PLATFORMS=cpu python scripts/bench_encoder_fold.py --tiny
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+TINY = "--tiny" in sys.argv
+if TINY:
+    jax.config.update("jax_platforms", "cpu")
+    B, T, NH, H, L = 4, 6, 2, 64, 2
+else:
+    B, T, NH, H, L = 64, 50, 12, 768, 12
+MLP = 4 * H
+DT = jnp.bfloat16
+# bf16 sublane tiles are 16 deep: per-image row blocks must start on a
+# 16-row boundary, so the padded token count rounds up to 16
+T8 = -(-T // 16) * 16
+SCALE = float(1.0 / np.sqrt(H // NH))
+INTERPRET = TINY
+LN_EPS = 1e-5
+VMEM_LIMIT = int(__import__("os").environ.get(
+    "ENC_VMEM_MB", "64")) * 1024 * 1024
+ROWS = int(__import__("os").environ.get("ENC_ROWS", "512"))
+_NEG_INF = -1e9
+
+
+def _ln(x, gamma, beta):
+    """flax LayerNorm bit-exact (see scripts/bench_layer_fold.py)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    mul = jax.lax.rsqrt(var + LN_EPS) * gamma.astype(jnp.float32)
+    return ((xf - mu) * mul + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dense(h, w, b):
+    y = jax.lax.dot_general(
+        h, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y.astype(h.dtype) + b
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+# ---------------------------------------------------------------------------
+# A: XLA reference (CLIPLayer math, raw jnp)
+# ---------------------------------------------------------------------------
+
+def clip_layer_xla(x, lw):
+    """One CLIP layer on [B, T, H], replicating models/encoders.CLIPLayer
+    (pre-LN, fused QKV, quick-gelu MLP) with nn.Dense-exact dtypes."""
+    Bb, Tt, Hh = x.shape
+    nh, hd = NH, H // NH
+    y = _ln(x.reshape(-1, Hh), lw["g1"], lw["b1"]).reshape(Bb, Tt, Hh)
+    qkv = _dense(y.reshape(-1, Hh), lw["wqkv"], lw["bqkv"]).reshape(
+        Bb, Tt, 3 * Hh)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    heads = lambda t: t.reshape(Bb, Tt, nh, hd).transpose(0, 2, 1, 3)
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * SCALE
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    out = out.transpose(0, 2, 1, 3).reshape(Bb, Tt, Hh)
+    x = x + _dense(out.reshape(-1, Hh), lw["wo"], lw["bo"]).reshape(
+        Bb, Tt, Hh)
+    y = _ln(x.reshape(-1, Hh), lw["g2"], lw["b2"])
+    y = quick_gelu(_dense(y, lw["wfc"], lw["bfc"]))
+    return x + _dense(y, lw["wpj"], lw["bpj"]).reshape(Bb, Tt, Hh)
+
+
+def encoder_xla(x, sw):
+    for li in range(L):
+        x = clip_layer_xla(x, {k: v[li] for k, v in sw.items()})
+    return x
+
+
+# ---------------------------------------------------------------------------
+# G: whole-stack encoder kernel
+# ---------------------------------------------------------------------------
+
+def _encoder_kernel(x_ref,
+                    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                    g1_ref, b1_ref, g2_ref, b2_ref,
+                    wfc_ref, bfc_ref, wpj_ref, bpj_ref,
+                    out_ref, xbuf,
+                    *, NHk: int, Hk: int, G: int, Lk: int, Tpad: int,
+                    Tval: int, scale: float):
+    """Grid (L, NC) cell: CLIP layer ``li`` on ``G`` images. The residual
+    stream is carried across layers in ``xbuf``; per-layer weights are
+    pipelined blocks. Attention runs per image via the head-tiled
+    masked-dot formulation (module docstring)."""
+    li = pl.program_id(0)
+    g = pl.program_id(1)
+    rows = G * Tpad
+    row0 = g * rows
+    hd = Hk // NHk
+
+    x = jnp.where(li == 0, x_ref[:], xbuf[pl.ds(row0, rows), :])
+    dt = x.dtype
+    h = _ln(x, g1_ref[0, 0], b1_ref[0, 0])
+    qkv = _dense(h, wqkv_ref[0], bqkv_ref[0])           # [G*Tpad, 3H]
+    q = qkv[:, :Hk]
+    k = qkv[:, Hk:2 * Hk]
+    v = qkv[:, 2 * Hk:]
+
+    # head-tiled attention, one image at a time (unrolled: G is static)
+    rowhead = (jax.lax.broadcasted_iota(jnp.int32, (NHk * Tpad, Hk), 0)
+               // Tpad)
+    lanehead = (jax.lax.broadcasted_iota(jnp.int32, (NHk * Tpad, Hk), 1)
+                // hd)
+    own = rowhead == lanehead
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (NHk * Tpad, Tpad), 1)
+    svalid = s_col < Tval
+    outs = []
+    for i in range(G):
+        qi = q[i * Tpad:(i + 1) * Tpad]                 # [Tpad, H]
+        ki = k[i * Tpad:(i + 1) * Tpad]
+        vi = v[i * Tpad:(i + 1) * Tpad]
+        qtile = jnp.concatenate([qi] * NHk, axis=0)     # [nh*Tpad, H]
+        qmask = jnp.where(own, qtile, jnp.zeros_like(qtile))
+        # S = Q' . ki^T without a transpose: contract both on the H axis
+        s = jax.lax.dot_general(
+            qmask.astype(jnp.float32), ki.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [nh*Tpad, Tpad]
+        s = jnp.where(svalid, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
+        o = jax.lax.dot_general(
+            p, vi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [nh*Tpad, H] f32
+        o = jnp.where(own, o, jnp.zeros_like(o))
+        outs.append(o.reshape(NHk, Tpad, Hk).sum(axis=0))  # [Tpad, H]
+    att = jnp.concatenate(outs, axis=0).astype(dt)       # [G*Tpad, H]
+
+    x1 = x + _dense(att, wo_ref[0], bo_ref[0])
+    h2 = _ln(x1, g2_ref[0, 0], b2_ref[0, 0])
+    y = _dense(h2, wfc_ref[0], bfc_ref[0])
+    # quick_gelu with a dtype-matched constant: a bare python float
+    # broadcasts as f32 and trips Mosaic's vector verifier on bf16
+    y = y * jax.nn.sigmoid(y * jnp.asarray(1.702, y.dtype))
+    xo = x1 + _dense(y, wpj_ref[0], bpj_ref[0])
+    xbuf[pl.ds(row0, rows), :] = xo
+    out_ref[:] = xo
+
+
+def encoder_fold(x, sw):
+    """All L CLIP layers as ONE pallas_call. x [B, Tpad, H] (token axis
+    pre-padded to a 16-row boundary); returns [B, Tpad, H]."""
+    Bb, Tpad, Hh = x.shape
+    G = max(1, min(ROWS, Bb * Tpad) // Tpad)
+    while Bb % G:
+        G -= 1
+    NC = Bb // G
+    rows = G * Tpad
+    xf = x.reshape(Bb * Tpad, Hh)
+    kernel = functools.partial(
+        _encoder_kernel, NHk=NH, Hk=Hh, G=G, Lk=L, Tpad=Tpad, Tval=T,
+        scale=SCALE)
+    wspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, (lambda li, g: (li,) + (0,) * len(shape)),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, NC),
+        in_specs=[
+            pl.BlockSpec((rows, Hh), lambda li, g: (g, 0),
+                         memory_space=pltpu.VMEM),         # x
+            wspec((Hh, 3 * Hh)), wspec((1, 3 * Hh)),       # wqkv, bqkv
+            wspec((Hh, Hh)), wspec((1, Hh)),               # wo, bo
+            wspec((1, Hh)), wspec((1, Hh)),                # ln1 g/b
+            wspec((1, Hh)), wspec((1, Hh)),                # ln2 g/b
+            wspec((Hh, MLP)), wspec((1, MLP)),             # wfc, bfc
+            wspec((MLP, Hh)), wspec((1, Hh)),              # wpj, bpj
+        ],
+        out_specs=pl.BlockSpec((rows, Hh), lambda li, g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bb * Tpad, Hh), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Bb * Tpad, Hh), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(xf,
+      sw["wqkv"], sw["bqkv"][:, None], sw["wo"], sw["bo"][:, None],
+      sw["g1"][:, None], sw["b1"][:, None],
+      sw["g2"][:, None], sw["b2"][:, None],
+      sw["wfc"], sw["bfc"][:, None], sw["wpj"], sw["bpj"][:, None])
+    return out.reshape(Bb, Tpad, Hh)
+
+
+def make_inputs(seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 13)
+    x = jax.random.normal(ks[0], (B, T, H), DT)
+    shapes = {"wqkv": (H, 3 * H), "bqkv": (3 * H,), "wo": (H, H),
+              "bo": (H,), "g1": (H,), "b1": (H,), "g2": (H,), "b2": (H,),
+              "wfc": (H, MLP), "bfc": (MLP,), "wpj": (MLP, H), "bpj": (H,)}
+    sw = {}
+    for i, (kname, shp) in enumerate(shapes.items()):
+        scale = 0.03 if kname[0] == "w" else 0.02
+        sw[kname] = jax.random.normal(ks[i + 1], (L,) + shp, DT) * scale
+    sw["g1"] = sw["g1"] + 1.0
+    sw["g2"] = sw["g2"] + 1.0
+    return x, sw
+
+
+def run_xla(x, sw):
+    return encoder_xla(x, sw)
+
+
+def run_fold(x, sw):
+    xp = jnp.pad(x, ((0, 0), (0, T8 - T), (0, 0)))
+    out = encoder_fold(xp, sw)
+    return out[:, :T]
+
+
+def time_prog(name, fn, args, iters=10):
+    prog = jax.jit(fn)
+    out = prog(*args)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = prog(*args)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:<52}{dt:>9.2f} ms/run")
+    return dt
+
+
+def main():
+    x, sw = make_inputs()
+    xa = jax.jit(run_xla)(x, sw)
+    xg = jax.jit(run_fold)(x, sw)
+    d = float(jnp.max(jnp.abs(xa.astype(jnp.float32)
+                              - xg.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(xa.astype(jnp.float32))))
+    rel = d / max(1e-6, ref)
+    print(f"parity XLA vs fold: max abs diff {d:.3e} (rel {rel:.3e}) "
+          f"{'OK' if rel < 2e-2 else 'FAIL'}")
+    if rel >= 2e-2:
+        sys.exit(1)
+    if TINY:
+        print("(tiny/CPU parity mode: timing skipped)")
+        return
+    ta = time_prog("A: XLA CLIP encoder (12 layers)", run_xla, (x, sw))
+    tg = time_prog("G: whole-stack encoder fold (1 call)", run_fold,
+                   (x, sw))
+    print(f"\nfold delta: {ta - tg:+.2f} ms "
+          f"({'fold wins' if tg < ta else 'XLA wins'})")
+
+
+if __name__ == "__main__":
+    main()
