@@ -153,9 +153,11 @@ def _encoder_kernel(x_ref,
         vi = v[i * Tpad:(i + 1) * Tpad]
         qtile = jnp.concatenate([qi] * NHk, axis=0)     # [nh*Tpad, H]
         qmask = jnp.where(own, qtile, jnp.zeros_like(qtile))
-        # S = Q' . ki^T without a transpose: contract both on the H axis
+        # S = Q' . ki^T without a transpose: contract both on the H axis.
+        # bf16 operands with f32 accumulation — products of two bf16
+        # values are exact in f32, and f32xf32 MXU dots are ~8x slower
         s = jax.lax.dot_general(
-            qmask.astype(jnp.float32), ki.astype(jnp.float32),
+            qmask, ki,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [nh*Tpad, Tpad]
         s = jnp.where(svalid, s, _NEG_INF)
@@ -172,9 +174,15 @@ def _encoder_kernel(x_ref,
     x1 = x + _dense(att, wo_ref[0], bo_ref[0])
     h2 = _ln(x1, g2_ref[0, 0], b2_ref[0, 0])
     y = _dense(h2, wfc_ref[0], bfc_ref[0])
-    # quick_gelu with a dtype-matched constant: a bare python float
-    # broadcasts as f32 and trips Mosaic's vector verifier on bf16
-    y = y * jax.nn.sigmoid(y * jnp.asarray(1.702, y.dtype))
+    # quick_gelu: Mosaic's bf16 logistic lowering emits an f32->bf16
+    # vector.broadcast that fails MLIR verification, so compute the
+    # sigmoid in f32 under Mosaic (ulp-level difference only); interpret
+    # mode keeps the exact XLA expression for CPU bit-parity
+    if INTERPRET:
+        y = y * jax.nn.sigmoid(y * jnp.asarray(1.702, y.dtype))
+    else:
+        yf = y.astype(jnp.float32)
+        y = (yf * jax.nn.sigmoid(1.702 * yf)).astype(dt)
     xo = x1 + _dense(y, wpj_ref[0], bpj_ref[0])
     xbuf[pl.ds(row0, rows), :] = xo
     out_ref[:] = xo
@@ -249,6 +257,30 @@ def run_fold(x, sw):
     return out[:, :T]
 
 
+CHAIN = 8  # chained passes per jitted call: the ~16-20 ms axon dispatch
+#            RTT otherwise dominates a single ~5 ms encoder pass
+
+
+def chain_xla(x, sw):
+    def body(c, _):
+        y = encoder_xla(c, sw)
+        return y * jnp.asarray(0.2, y.dtype), None  # keep activations sane
+
+    out, _ = jax.lax.scan(body, x, None, length=CHAIN)
+    return out
+
+
+def chain_fold(x, sw):
+    xp = jnp.pad(x, ((0, 0), (0, T8 - T), (0, 0)))
+
+    def body(c, _):
+        y = encoder_fold(c, sw)
+        return y * jnp.asarray(0.2, y.dtype), None
+
+    out, _ = jax.lax.scan(body, xp, None, length=CHAIN)
+    return out[:, :T]
+
+
 def time_prog(name, fn, args, iters=10):
     prog = jax.jit(fn)
     out = prog(*args)
@@ -277,10 +309,12 @@ def main():
     if TINY:
         print("(tiny/CPU parity mode: timing skipped)")
         return
-    ta = time_prog("A: XLA CLIP encoder (12 layers)", run_xla, (x, sw))
-    tg = time_prog("G: whole-stack encoder fold (1 call)", run_fold,
+    ta = time_prog(f"A: XLA CLIP encoder x{CHAIN} chained", chain_xla,
                    (x, sw))
-    print(f"\nfold delta: {ta - tg:+.2f} ms "
+    tg = time_prog(f"G: whole-stack fold x{CHAIN} chained", chain_fold,
+                   (x, sw))
+    print(f"\nper-pass: A {ta / CHAIN:.2f} ms, G {tg / CHAIN:.2f} ms, "
+          f"delta {(ta - tg) / CHAIN:+.2f} ms "
           f"({'fold wins' if tg < ta else 'XLA wins'})")
 
 
