@@ -577,3 +577,39 @@ def test_stack_tile_convention():
     np.testing.assert_array_equal(
         _np(out["lazy"]["stacked"]["k"][:, 1]),
         _np(state["lazy"]["stacked"]["k"][:, 0]))
+
+
+def test_stack_supported_shapes():
+    """The whole-stack kernel's VMEM gate: flagship shapes fit; models the
+    envelope cannot hold (giant caches, unaligned widths) must fall back
+    before Mosaic sees them."""
+    from image_captioning_ml_project_tpu.ops.pallas_decode import (
+        fused_decode_stack_supported)
+
+    assert fused_decode_stack_supported(24, 768)       # flagship GPT-2
+    assert not fused_decode_stack_supported(24, 16)    # narrow demo width
+    assert not fused_decode_stack_supported(20, 768)   # unaligned cache
+    assert not fused_decode_stack_supported(8192, 768)  # cache >> VMEM
+
+
+def test_stack_knob_reverts_layout(tiny_gpt2, monkeypatch):
+    """ICT_DECODE_STACK=0 must produce the per-layer cache layout AND the
+    same tokens as the stacked layout (the fallback chain is
+    numerically interchangeable)."""
+    build, variables, feats = tiny_gpt2
+    B, L, K = 4, 12, 5
+    results = {}
+    for knob in ("1", "0"):
+        monkeypatch.setenv("ICT_DECODE_STACK", knob)
+        dec = build("pallas")
+        state = dec.apply(variables, feats, L, method=dec.init_cache)
+        assert ("stacked" in state["lazy"]) == (knob == "1")
+
+        def step_fn(s, t, dec=dec):
+            return dec.apply(variables, s, t, method=dec.step)
+
+        results[knob] = beam_search(
+            step_fn, state, B, K, bos_token_id=1, eos_token_id=2,
+            pad_token_id=0, max_length=L, length_penalty=0.8)
+    np.testing.assert_array_equal(_np(results["1"].tokens),
+                                  _np(results["0"].tokens))
