@@ -457,7 +457,7 @@ class CLIPVisionBackbone(nn.Module):
     fused_qkv: bool = False
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, train: bool = False):
         B = images.shape[0]
         h = self.hidden_size
         x = PatchEmbed(h, self.patch_size, use_bias=False, dtype=self.dtype,
@@ -472,13 +472,86 @@ class CLIPVisionBackbone(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_layernorm")(x)
         # nn.remat keeps module names/param paths; only the backward changes
         layer_cls = nn.remat(CLIPLayer) if self.remat else CLIPLayer
-        for i in range(self.num_layers):
-            x = layer_cls(h, self.num_heads, h * self.mlp_ratio,
-                          dtype=self.dtype, fused_qkv=self.fused_qkv,
-                          name=f"layer_{i}")(x)
+        layers = [layer_cls(h, self.num_heads, h * self.mlp_ratio,
+                            dtype=self.dtype, fused_qkv=self.fused_qkv,
+                            name=f"layer_{i}")
+                  for i in range(self.num_layers)]
+        if self._use_fold(train, x.shape[1], h):
+            x = self._fold_forward(x, layers)
+        else:
+            for layer in layers:
+                x = layer(x)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                               name="post_layernorm")(x[:, 0])
         return x, pooled
+
+    def _use_fold(self, train: bool, num_tokens: int, h: int) -> bool:
+        """Whether to run the encoder through the whole-stack Pallas
+        kernel (ops/pallas_encoder.fused_encoder_stack — measured 5.74 ->
+        5.27 ms/batch on the flagship decode program's profile). Kernel
+        has no VJP, so it only ever engages on inference forwards
+        (``train=False``; no existing call site differentiates one — a
+        future one fails loudly at trace time; ICT_ENCODER_FOLD=0
+        reverts). Initialization always takes the XLA path (the fold
+        reads the per-layer params, which do not exist yet during init);
+        ICT_ENCODER_FOLD=force engages it in interpret mode too (the CPU
+        parity tests)."""
+        from ..ops.pallas_encoder import (encoder_fold_mode,
+                                          fused_encoder_supported)
+
+        mode = encoder_fold_mode()
+        if mode == "0" or train or self.remat or self.is_initializing():
+            return False
+        if jax.default_backend() == "tpu":
+            return fused_encoder_supported(num_tokens, h,
+                                           h * self.mlp_ratio, self.dtype)
+        return mode == "force"
+
+    def _fold_forward(self, x, layers):
+        """All layers as ONE pallas_call: pad the token axis to a 16-row
+        bf16 sublane tile (padded positions are masked out of every
+        softmax), stack the per-layer weights (Dense kernels/biases cast
+        to the module dtype exactly as promote_dtype would; LayerNorm
+        scale/bias stay f32 — flax uses them unpromoted in the f32
+        statistics path), run the kernel, drop the padding."""
+        from ..ops.pallas_encoder import fused_encoder_stack
+
+        B, T, h = x.shape
+        tpad = -(-T // 16) * 16
+        dt = self.dtype
+        cols = {k: [] for k in ("wqkv", "bqkv", "wo", "bo", "g1", "b1",
+                                "g2", "b2", "wfc", "bfc", "wpj", "bpj")}
+        for layer in layers:
+            pp = layer.variables["params"]
+            att = pp["attention"]
+            if "qkv" in att:
+                kw, kb = att["qkv"]["kernel"], att["qkv"]["bias"]
+            else:
+                # unfused q/k/v params: one [h, 3h] matmul is numerically
+                # identical (each output column block is the same dot)
+                kw = jnp.concatenate([att["query"]["kernel"],
+                                      att["key"]["kernel"],
+                                      att["value"]["kernel"]], axis=1)
+                kb = jnp.concatenate([att["query"]["bias"],
+                                      att["key"]["bias"],
+                                      att["value"]["bias"]])
+            cols["wqkv"].append(kw.astype(dt))
+            cols["bqkv"].append(kb.astype(dt))
+            cols["wo"].append(att["out"]["kernel"].astype(dt))
+            cols["bo"].append(att["out"]["bias"].astype(dt))
+            cols["g1"].append(pp["layer_norm1"]["scale"])
+            cols["b1"].append(pp["layer_norm1"]["bias"])
+            cols["g2"].append(pp["layer_norm2"]["scale"])
+            cols["b2"].append(pp["layer_norm2"]["bias"])
+            cols["wfc"].append(pp["fc1"]["kernel"].astype(dt))
+            cols["bfc"].append(pp["fc1"]["bias"].astype(dt))
+            cols["wpj"].append(pp["fc2"]["kernel"].astype(dt))
+            cols["bpj"].append(pp["fc2"]["bias"].astype(dt))
+        stack = {k: jnp.stack(v) for k, v in cols.items()}
+        xp = jnp.pad(x, ((0, 0), (0, tpad - T), (0, 0)))
+        out = fused_encoder_stack(xp, stack, T, num_heads=self.num_heads,
+                                  ln_eps=1e-5)
+        return out[:, :T]
 
 
 class CLIPEncoder(nn.Module):
@@ -502,7 +575,7 @@ class CLIPEncoder(nn.Module):
             remat=getattr(cfg, "remat", False),
             fused_qkv=getattr(cfg, "fused_qkv", False),
             name="backbone",
-        )(images)
+        )(images, train=train)
         if cfg.freeze:
             x = jax.lax.stop_gradient(x)
             pooled = jax.lax.stop_gradient(pooled)
